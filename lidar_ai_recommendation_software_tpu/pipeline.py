@@ -1,0 +1,134 @@
+"""End-to-end analytics pipeline.
+
+One jitted device program runs preprocess -> people extraction -> density ->
+flow (the reference spreads this across Streamlit button handlers,
+app.py:197-258); the host only converts the fixed-capacity device results
+into reference-shaped dicts and runs the rule-based recommendation engine.
+
+Usage:
+    pipe = Pipeline(MONOLITH_CONFIG)
+    results = pipe.analyze(points_np)          # full host-facing dicts
+    device_res = pipe.analyze_device(cloud)    # stays on device (bench path)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_ai_recommendation_software_tpu.config import (
+    MONOLITH_CONFIG, PipelineConfig)
+from lidar_ai_recommendation_software_tpu.models import density as density_mod
+from lidar_ai_recommendation_software_tpu.models import flow as flow_mod
+from lidar_ai_recommendation_software_tpu.preprocess import preprocess
+from lidar_ai_recommendation_software_tpu.types import (
+    AnalysisResults, People, PointCloud, ProcessedCloud)
+from lidar_ai_recommendation_software_tpu.utils.recommendations import (
+    generate_recommendations)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def analyze_cloud(cloud: PointCloud, uniforms: jnp.ndarray,
+                  config: PipelineConfig) -> tuple:
+    """The full device program: static config, static shapes, one XLA
+    compilation."""
+    processed = preprocess(cloud, config)
+    people = density_mod.extract_people(processed, config)
+    dres = density_mod.analyze_density(processed, people, config)
+    fres = flow_mod.analyze_flow(processed, people, uniforms, config)
+    return processed, people, AnalysisResults(density=dres, flow=fres)
+
+
+class Pipeline:
+    """Host-facing orchestrator with reference-shaped outputs."""
+
+    def __init__(self, config: PipelineConfig = MONOLITH_CONFIG):
+        self.config = config
+        self._uniforms = jnp.asarray(
+            flow_mod.bottleneck_uniforms(config.flow.random_seed,
+                                         config.flow.bottleneck_count),
+            dtype=jnp.float32)
+
+    def fit_capacity(self, points: np.ndarray) -> PipelineConfig:
+        """Size static capacities to the input (bucketed to powers of two /
+        multiples of 32 so jit recompiles are rare): point capacity covers
+        n, the density/flow grid covers the venue extent, and the people
+        capacity scales with point count."""
+        cap = self.config.capacity
+        n = len(points)
+        max_points = max(cap.max_points, 1 << max(1, (n - 1).bit_length()))
+
+        mins = points.min(axis=0)
+        maxs = points.max(axis=0)
+        g = self.config.density.grid_size
+        margin = 2 * self.config.density.margin_cells + 2
+        need_x = int(np.ceil((maxs[0] - mins[0]) / g)) + margin
+        need_y = int(np.ceil((maxs[1] - mins[1]) / g)) + margin
+
+        def bucket32(v, lo):
+            return max(lo, ((v + 31) // 32) * 32)
+
+        gx = bucket32(need_x, cap.grid_cells_x)
+        gy = bucket32(need_y, cap.grid_cells_y)
+        max_people = max(cap.max_people,
+                         1 << max(1, (max(1, n // 8) - 1).bit_length()))
+        if (max_points == cap.max_points and gx == cap.grid_cells_x
+                and gy == cap.grid_cells_y
+                and max_people == cap.max_people):
+            return self.config
+        return self.config.with_capacity(
+            max_points=max_points, grid_cells_x=gx, grid_cells_y=gy,
+            max_people=max_people)
+
+    def analyze_device(self, cloud: PointCloud,
+                       config: Optional[PipelineConfig] = None):
+        cfg = config or self.config
+        return analyze_cloud(cloud, self._uniforms, cfg)
+
+    # Beyond this coordinate magnitude, f32 cell/cluster math loses the
+    # sub-metre resolution the analytics need (real-world LAS files often
+    # carry UTM offsets ~1e5-1e7); recentre on device ingest and shift the
+    # reported coordinates back on the host.
+    RECENTER_THRESHOLD = 4096.0
+
+    def analyze(self, points: np.ndarray) -> Dict:
+        """NumPy points in, reference-shaped result dicts out."""
+        points = np.asarray(points, dtype=np.float64)[:, :3]
+        offset = np.zeros(3)
+        if np.abs(points[:, :2]).max() > self.RECENTER_THRESHOLD:
+            offset[:2] = np.round(points[:, :2].mean(axis=0))
+            points = points - offset
+
+        cfg = self.fit_capacity(points)
+        cloud = PointCloud.from_numpy(points, cfg.capacity.max_points)
+        processed, people, res = self.analyze_device(cloud, cfg)
+        density_results = res.density.to_host_dict()
+        flow_results = res.flow.to_host_dict()
+        if offset.any():
+            ox, oy = float(offset[0]), float(offset[1])
+            density_results["origin"] = (
+                density_results["origin"][0] + ox,
+                density_results["origin"][1] + oy)
+            for h in density_results["hotspots"]:
+                h["x"] += ox
+                h["y"] += oy
+            for b in flow_results["bottlenecks"]:
+                b["x"] += ox
+                b["y"] += oy
+            flow_results["flow_vectors"]["positions"] = (
+                flow_results["flow_vectors"]["positions"]
+                + np.array([ox, oy]))
+        recommendations = generate_recommendations(
+            density_results, flow_results, self.config.recommend)
+        return {
+            "processed": processed,
+            "people": people,
+            "coordinate_offset": offset,
+            "density": density_results,
+            "flow": flow_results,
+            "recommendations": recommendations,
+        }

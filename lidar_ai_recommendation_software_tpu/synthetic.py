@@ -1,0 +1,69 @@
+"""Synthetic venue generators.
+
+``sample_venue`` reproduces — bit-for-bit, including NumPy RNG consumption
+order — the reference's de-facto golden fixture: the seed-42 synthetic point
+cloud built inline in the monolith app (app_simplified.py:994-1024 /
+app_with_db.py:1020-1050): 10,000 points uniform in ±15 m xy, sinusoidal
+terrain ``0.1 sin(0.5x) cos(0.5y)``, 50 person clusters of radius 0.3 m with
+per-point heights drawn uniform in [0.1, 1.8].
+
+``scaled_venue`` generalises the same recipe to arbitrary sizes for
+benchmarking (100K / 1M / 10M points per BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sample_venue(n_points: int = 10000, n_people: int = 50,
+                 extent: float = 15.0, people_extent: float = 10.0,
+                 person_radius: float = 0.3, seed: int = 42) -> np.ndarray:
+    """The reference golden fixture (defaults = app_simplified.py:994-1024).
+
+    RNG draw order matches the reference exactly: x (n), y (n),
+    people_centers (n_people, 2), then one height draw per point that falls
+    within ``person_radius`` of its nearest person centre, in point order.
+    """
+    rng = np.random
+    rng.seed(seed)
+    x = rng.uniform(-extent, extent, n_points)
+    y = rng.uniform(-extent, extent, n_points)
+    z = 0.1 * np.sin(x * 0.5) * np.cos(y * 0.5)
+
+    centers = rng.uniform(-people_extent, people_extent, (n_people, 2))
+
+    # Nearest-centre distance per point (vectorised, identical result to the
+    # reference's per-point loop).
+    d2 = ((x[:, None] - centers[None, :, 0]) ** 2
+          + (y[:, None] - centers[None, :, 1]) ** 2)
+    min_dist = np.sqrt(d2.min(axis=1))
+    person_mask = min_dist < person_radius
+
+    # The reference draws one uniform per in-person point, in increasing
+    # point order — replicate the stream consumption.
+    heights = rng.uniform(0.1, 1.8, int(person_mask.sum()))
+    z = z.copy()
+    z[person_mask] = heights
+
+    return np.column_stack((x, y, z))
+
+
+def scaled_venue(n_points: int, seed: int = 42,
+                 people_per_100m2: float = 0.56) -> np.ndarray:
+    """A benchmark venue scaled so crowd statistics stay realistic.
+
+    The golden fixture has 50 people in a 30x30 m venue. We grow the venue
+    area linearly with the point count (constant ~11 pts/m^2 sampling
+    density) and keep the same people-per-area, so clustering workload grows
+    linearly and density stats stay in the reference's regime.
+    """
+    base_area = 30.0 * 30.0
+    base_points = 10000.0
+    area = base_area * (n_points / base_points)
+    extent = float(np.sqrt(area) / 2.0)
+    n_people = max(1, int(people_per_100m2 * area / 100.0))
+    return sample_venue(
+        n_points=n_points, n_people=n_people, extent=extent,
+        people_extent=max(1.0, extent - 5.0), seed=seed,
+    )

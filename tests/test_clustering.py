@@ -1,0 +1,71 @@
+"""DBSCAN-equivalence: our hash-grid label propagation must reproduce
+sklearn's cluster census (SURVEY.md §7 hard part (a))."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.cluster import DBSCAN
+
+from lidar_ai_recommendation_software_tpu.ops import clustering
+
+
+def _census(labels, pts):
+    """Canonical cluster census: sorted list of sorted member-index
+    tuples restricted to core-agnostic exact comparison via centroids."""
+    cents = []
+    for c in np.unique(labels[labels >= 0]):
+        cents.append(tuple(np.round(pts[labels == c].mean(0), 5)))
+    return sorted(cents)
+
+
+def _run_ours(pts, eps, min_samples, cap=None):
+    n = len(pts)
+    cap = cap or 1 << (n - 1).bit_length()
+    buf = np.zeros((cap, pts.shape[1]), np.float32)
+    buf[:n] = pts
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    labels, ncl = clustering.dbscan_labels(
+        jnp.asarray(buf), jnp.asarray(mask), eps, min_samples,
+        bucket_capacity=64, neighbor_capacity=64)
+    return np.asarray(labels)[:n], int(ncl)
+
+
+@pytest.mark.parametrize("seed,n,eps,ms", [(0, 800, 0.4, 5), (1, 500, 0.6, 4),
+                                           (2, 1200, 0.3, 3)])
+def test_dbscan_census_random(seed, n, eps, ms):
+    rng = np.random.RandomState(seed)
+    # mix of clusters and background noise
+    centers = rng.uniform(-8, 8, (12, 3))
+    cluster_pts = (centers[rng.randint(0, 12, n // 2)]
+                   + rng.normal(0, 0.15, (n // 2, 3)))
+    noise = rng.uniform(-10, 10, (n - n // 2, 3))
+    pts = np.vstack([cluster_pts, noise]).astype(np.float32)
+
+    sk = DBSCAN(eps=eps, min_samples=ms).fit(pts).labels_
+    ours, ncl = _run_ours(pts, eps, ms)
+
+    assert ncl == sk.max() + 1
+    # noise sets can differ only in border assignment; core census must match
+    assert _census(ours, pts) == _census(sk, pts)
+
+
+def test_dbscan_fixture_census(fixture_points, oracle_monolith):
+    pro = oracle_monolith["processed"]
+    ng = pro["points"][~pro["ground_mask"]].astype(np.float32)
+    sk = DBSCAN(eps=0.3, min_samples=5).fit(ng).labels_
+    ours, ncl = _run_ours(ng, 0.3, 5, cap=8192)
+    assert ncl == sk.max() + 1 == 446
+    assert (ours == -1).sum() == (sk == -1).sum()
+    assert _census(ours, ng) == _census(sk, ng)
+
+
+def test_cluster_centroids_segment_mean():
+    pts = jnp.asarray(np.array([[0, 0, 0], [2, 0, 0], [0, 4, 0], [9, 9, 9]],
+                               np.float32))
+    labels = jnp.asarray(np.array([0, 0, 1, -1], np.int32))
+    cents, valid = clustering.cluster_centroids(pts, labels, 4)
+    cents, valid = np.asarray(cents), np.asarray(valid)
+    assert valid.tolist() == [True, True, False, False]
+    np.testing.assert_allclose(cents[0], [1, 0, 0])
+    np.testing.assert_allclose(cents[1], [0, 4, 0])
