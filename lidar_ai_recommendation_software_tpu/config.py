@@ -128,10 +128,15 @@ class CapacityConfig:
     max_people: int = 512            # padded people/cluster capacity
     grid_cells_x: int = 64           # density/flow grid static capacity
     grid_cells_y: int = 64
-    # hash-grid neighbor search
+    # hash-grid neighbor search (generic ball query path)
     bucket_capacity: int = 32        # max points scanned per voxel bucket
+    # dense 2.5D column grid (clustering hot path, ops/columns.py)
+    cluster_cells_x: int = 128       # xy columns (static)
+    cluster_cells_y: int = 128
+    cluster_column_cap: int = 32     # max points per xy column (the
+                                     # pipeline auto-doubles on overflow)
     # label propagation
-    max_cc_iters: int = 64           # connected-components sweep cap
+    max_cc_iters: int = 40           # connected-components sweep cap
 
 
 @dataclasses.dataclass(frozen=True)

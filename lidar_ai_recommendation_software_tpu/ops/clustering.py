@@ -1,20 +1,20 @@
-"""DBSCAN-equivalent clustering via hash-grid adjacency + label propagation.
+"""DBSCAN-equivalent clustering on the dense 2.5D column grid.
 
 The reference clusters people with sklearn DBSCAN
 (utils/data_processing.py:197, app_simplified.py:107). DBSCAN's
 seed-expansion is inherently sequential; the TPU-native equivalent computes
-the *same* clusters as parallel connected components:
+the *same* clusters as parallel connected components over the column grid
+(ops/columns.py):
 
   1. core points: |N_eps(p)| >= min_samples (self included — sklearn
-     semantics), via an exact bucketed radius count;
-  2. the eps-adjacency is materialised ONCE as a fixed-capacity (N, K)
-     neighbor table (one bucketed sweep), then
-  3. clusters = connected components of the core-core adjacency, found by
-     iterated min-label propagation with pointer jumping
-     (Shiloach-Vishkin style): each sweep is a (N, K) gather-min plus a
-     scatter-min over the reversed edges, so the adjacency is effectively
-     symmetrised even when one endpoint's K slots overflow;
-  4. border points adopt the min cluster label among their core neighbors;
+     semantics), via the dense 3x3-column pairwise count;
+  2. clusters = connected components of the core-core eps-adjacency,
+     found by iterated min-label propagation: each sweep takes, for every
+     table slot, the min label over eps-neighbors in the 9 adjacent
+     columns — a static shift + pairwise mask + min-reduce, all dense VPU
+     work — followed by pointer-jumping (path halving) through the
+     point-index label space;
+  3. border points adopt the min cluster label among their core neighbors;
      everything else is noise (-1).
 
 The cluster *census* (number of clusters, member sets of core points) is
@@ -23,9 +23,9 @@ clusters may differ (sklearn's choice there is scan-order dependent, i.e.
 unspecified). Validated bit-exact against sklearn on the seed-42 fixture
 (446 clusters / 2544 noise points).
 
-Capacity caveat: a core-core *edge* is only seen if at least one endpoint
-lists the other in its K slots. With K >= max expected neighbor count this
-is exact; the default K is configurable via CapacityConfig.bucket_capacity.
+Labels compact to dense ids 0..n_clusters-1 ordered by each cluster's
+minimum point index. Min-label propagation over eps-balls is symmetric by
+construction (the pairwise mask is), so no scatter is ever needed.
 """
 
 from __future__ import annotations
@@ -35,72 +35,228 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from lidar_ai_recommendation_software_tpu.ops import hashgrid
-from lidar_ai_recommendation_software_tpu.ops.hashgrid import INT_MAX
+from lidar_ai_recommendation_software_tpu.ops import columns
+from lidar_ai_recommendation_software_tpu.ops.columns import (
+    build_column_grid)
+
+INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
-                  min_samples: int, bucket_capacity: int = 32,
-                  neighbor_capacity: int = 48, max_iters: int = 64,
-                  chunk: int = 16384) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cluster padded ``points`` (N, D). Returns (labels (N,) int32 with
-    -1 noise / dense cluster ids, n_clusters ()). Invalid points get -1."""
+def _bf_row_chunks(points, mask, chunk):
+    n, d = points.shape
+    pad = (-n) % chunk
+    pp = jnp.pad(points, ((0, pad), (0, 0)))
+    mm = jnp.pad(mask, (0, pad))
+    return pp.reshape((n + pad) // chunk, chunk, d), \
+        mm.reshape((n + pad) // chunk, chunk), n
+
+
+def dbscan_bruteforce(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
+                      min_samples: int, max_iters: int = 40,
+                      chunk: int = 2048
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact DBSCAN-equivalent via tiled all-pairs distances.
+
+    For padded sets up to ~32K points the full (N, N) masked distance
+    reduction — row-chunked so nothing N^2 materialises in HBM — is faster
+    on TPU than any spatial structure: it is pure fused multiply/compare/
+    reduce at VPU speed with zero gathers. Works in any dimension and any
+    coordinate scaling (the modular variant clusters StandardScaler-warped
+    space where spatial bucketing degenerates; this path handles it).
+    """
     n = points.shape[0]
-    grid = hashgrid.build_grid(points, mask, cell_size=eps)
+    assert n % 32 == 0, "brute-force DBSCAN needs capacity % 32 == 0"
+    w = n // 32
+    r2 = jnp.asarray(eps, points.dtype) ** 2
+    qs, qm, _ = _bf_row_chunks(points, mask, chunk)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
 
-    counts = hashgrid.ball_count(grid, points, mask, eps,
-                                 bucket_capacity=bucket_capacity,
-                                 chunk=chunk)
+    # One geometric pass: packed eps-adjacency rows (n, n/32) uint32.
+    # Counts are popcounts; every sweep afterwards is coordinate-free
+    # bit-select + integer-min.
+    def adj_chunk(args):
+        q, qmk = args
+        d2 = jnp.sum((q[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+        hit = (d2 <= r2) & mask[None, :] & qmk[:, None]
+        return jnp.sum(
+            jnp.where(hit.reshape(q.shape[0], w, 32), weights, 0),
+            axis=-1, dtype=jnp.uint32)
+
+    adj = jax.lax.map(adj_chunk, (qs, qm)).reshape(-1, w)[:n]
+    counts = jnp.sum(jax.lax.population_count(adj).astype(jnp.int32),
+                     axis=1)
     core = mask & (counts >= min_samples)
-
-    nbr_idx, nbr_ok = hashgrid.ball_query(
-        grid, points, mask, eps, k=neighbor_capacity,
-        bucket_capacity=bucket_capacity, chunk=chunk)
+    core_words = jnp.sum(
+        jnp.where(core.reshape(w, 32), weights, 0), axis=-1,
+        dtype=jnp.uint32)
+    adj_core = adj & core_words[None, :]
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Only core-core edges participate in component finding.
-    core_nbr = nbr_ok & core[nbr_idx] & core[:, None]
     labels0 = jnp.where(core, idx, INT_MAX)
 
-    nbr_safe = jnp.clip(nbr_idx, 0, n - 1)
-    # scatter targets: reversed edges j -> i  (segment-min over edge list)
-    seg_target = jnp.where(core_nbr, nbr_safe, n)  # n = spill row
+    def min_sweep(labels, q_select):
+        # NB: the bit loop is STATICALLY UNROLLED — a (c, w, 32) broadcast
+        # shift inside a while_loop body sends the XLA:TPU loop optimizer
+        # into minutes-long compiles; 32 scalar-shift steps compile in
+        # seconds and run at the same speed.
+        lab_tiles = labels.reshape(w, 32)
+
+        def chunk_fn(a):
+            acc = jnp.full((a.shape[0],), INT_MAX, jnp.int32)
+            for k in range(32):
+                m = (a >> jnp.uint32(k)) & jnp.uint32(1)
+                cand = jnp.where(m == 1, lab_tiles[None, :, k], INT_MAX)
+                acc = jnp.minimum(acc, jnp.min(cand, axis=1))
+            return acc
+
+        pad = (-n) % chunk
+        ap = jnp.pad(adj_core, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            chunk_fn, ap.reshape((n + pad) // chunk, chunk, w)
+        ).reshape(-1)[:n]
+        return jnp.where(q_select, out, INT_MAX)
 
     def sweep(state):
-        labels, _ = state
-        # gather-min over forward edges
-        nl = jnp.where(core_nbr, labels[nbr_safe], INT_MAX)
-        new = jnp.minimum(labels, jnp.min(nl, axis=1))
-        # scatter-min over reversed edges (symmetrise overflow-truncated
-        # adjacency): labels[j] <- min(labels[j], labels[i]) for edge i->j
-        src = jnp.broadcast_to(new[:, None], seg_target.shape).reshape(-1)
-        tgt = seg_target.reshape(-1)
-        rev = jnp.full((n + 1,), INT_MAX, jnp.int32
-                       ).at[tgt].min(src)[:n]
-        new = jnp.minimum(new, jnp.where(core, rev, INT_MAX))
-        # pointer jumping (path halving)
-        for _ in range(2):
+        labels, _, it = state
+        nbr_min = min_sweep(labels, core)
+        new = jnp.where(core, jnp.minimum(labels, nbr_min), labels)
+        for _ in range(2):  # pointer jumping
             safe = jnp.clip(new, 0, n - 1)
             new = jnp.where(core, jnp.minimum(new, new[safe]), new)
-        return new, jnp.any(new != labels)
+        return new, jnp.any(new != labels), it + 1
 
-    labels, _ = jax.lax.while_loop(
-        lambda s: s[1], sweep, (labels0, jnp.asarray(True)))
+    labels, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters), sweep,
+        (labels0, jnp.asarray(True), jnp.asarray(0)))
 
-    # Border points: min core-neighbor label.
-    border_nl = jnp.where(nbr_ok & core[nbr_safe], labels[nbr_safe],
-                          INT_MAX)
-    border_min = jnp.min(border_nl, axis=1)
-    is_border = mask & ~core & (border_min != INT_MAX)
-    labels = jnp.where(is_border, border_min, labels)
+    border_min = min_sweep(labels, mask & ~core)
+    labels = jnp.where(mask & ~core & (border_min != INT_MAX),
+                       border_min, labels)
     labels = jnp.where(labels == INT_MAX, -1, labels)
 
-    # Compact representative indices -> dense ids in min-point-index order.
     is_rep = (labels == idx) & core
     dense_minus1 = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
     safe = jnp.clip(labels, 0, n - 1)
     dense = jnp.where(labels >= 0, dense_minus1[safe], -1)
-    return dense.astype(jnp.int32), jnp.sum(is_rep.astype(jnp.int32))
+    return (dense.astype(jnp.int32), jnp.sum(is_rep.astype(jnp.int32)),
+            jnp.asarray(0, jnp.int32))
+
+
+# Below this padded capacity the tiled all-pairs path wins; above it the
+# column grid's O(n * cap^2) dominates O(n^2).
+BRUTEFORCE_MAX_POINTS = 32768
+
+
+def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
+                  min_samples: int, ncx: int = 128, ncy: int = 128,
+                  column_cap: int = 64,
+                  max_iters: int = 40) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray]:
+    """Cluster padded ``points`` (N, D). Returns (labels (N,) int32 with
+    -1 noise / dense cluster ids, n_clusters (), overflow () int32 —
+    points dropped because a column exceeded ``column_cap``; 0 means the
+    result is exact). Dispatches on static capacity: tiled all-pairs for
+    small sets, dense column grid for venue-scale sets."""
+    if points.shape[0] <= BRUTEFORCE_MAX_POINTS:
+        return dbscan_bruteforce(points, mask, eps, min_samples,
+                                 max_iters=max_iters)
+    return dbscan_columns(points, mask, eps, min_samples, ncx=ncx,
+                          ncy=ncy, column_cap=column_cap,
+                          max_iters=max_iters)
+
+
+def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
+                   min_samples: int, ncx: int = 128, ncy: int = 128,
+                   column_cap: int = 64, max_iters: int = 40,
+                   stripe: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray]:
+    """Column-grid DBSCAN (see module docstring). Interior label tables are
+    (NCX, NCY, CAP); padded views are created per sweep (cheap: one pad of
+    the int32 label table) so every neighborhood pass runs striped."""
+    n = points.shape[0]
+    if stripe <= 0:
+        # target ~8-12 sequential stripe steps: big enough to saturate the
+        # VPU, small enough that fused per-stripe temps stay in-budget
+        stripe = max(8, min(64, ncx // 8))
+    grid = build_column_grid(points, mask, min_cell=eps, ncx=ncx, ncy=ncy,
+                             cap=column_cap)
+
+    # One geometric pass builds the packed eps-adjacency; counts fall out
+    # as popcounts and every subsequent sweep is coordinate-free.
+    adj = columns.column_adjacency(grid, eps, grid.table_valid,
+                                   stripe=stripe)
+    counts = columns.adjacency_counts(adj)
+    valid_int = grid.table_valid[1:-1, 1:-1]
+    core_int = valid_int & (counts >= min_samples)
+
+    # Restrict adjacency to core neighbors: mask each offset word with the
+    # neighbor column's packed core flags.
+    core_words = columns.pad_interior(columns.pack_slots(core_int),
+                                      jnp.uint32(0))    # (NCX+2,NCY+2,CAPW)
+    ncx_i, ncy_i = core_int.shape[:2]
+    shifted = [core_words[1 + dx:1 + dx + ncx_i, 1 + dy:1 + dy + ncy_i]
+               for dx, dy in columns.OFFSETS_3X3]
+    # (NCX, NCY, 9, CAPW) broadcast over the CAP axis of adj
+    adj_core = adj & jnp.stack(shifted, axis=-2)[:, :, None, :, :]
+    adj_core_pad = columns.pad_interior(adj_core, jnp.uint32(0))
+
+    # labels live in table layout and hold ORIGINAL point indices, so the
+    # final representative of each cluster is its minimum point index.
+    ptidx_int = grid.table_ptidx[1:-1, 1:-1]
+    labels0 = jnp.where(core_int, ptidx_int, INT_MAX)
+
+    # point-index -> flat *padded* table position (for pointer jumping)
+    pos_by_point = grid.point_pos            # (N,)
+    padded_size = grid.table_ptidx.size
+
+    def to_point_order(labels_int):
+        flat = jnp.concatenate(
+            [columns.pad_interior(labels_int, INT_MAX).reshape(-1),
+             jnp.array([INT_MAX], jnp.int32)])
+        return flat[jnp.clip(pos_by_point, 0, padded_size)]
+
+    def jump(labels_int, labels_by_point):
+        """labels hold point indices; chase one hop via point order."""
+        safe = jnp.clip(labels_int, 0, n - 1)
+        hop = labels_by_point[safe]
+        ok = (labels_int != INT_MAX) & (hop != INT_MAX)
+        return jnp.where(ok, jnp.minimum(labels_int, hop), labels_int)
+
+    def sweep(state):
+        labels, _, it = state
+        nbr_min = columns.adjacency_min_label(
+            adj_core_pad, columns.pad_interior(labels, INT_MAX), INT_MAX,
+            stripe=stripe)
+        new = jnp.where(core_int, jnp.minimum(labels, nbr_min), labels)
+        lbp = to_point_order(new)
+        new = jump(new, lbp)
+        return new, jnp.any(new != labels), it + 1
+
+    labels_int, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters), sweep,
+        (labels0, jnp.asarray(True), jnp.asarray(0)))
+
+    # Border points: min label among core eps-neighbors.
+    border_min = columns.adjacency_min_label(
+        adj_core_pad, columns.pad_interior(labels_int, INT_MAX), INT_MAX,
+        stripe=stripe)
+    border_sel = valid_int & ~core_int
+    labels_int = jnp.where(border_sel & (border_min != INT_MAX),
+                           border_min, labels_int)
+
+    # Back to point order: one gather via each point's table position.
+    labels_pt = to_point_order(labels_int)
+    labels_pt = jnp.where(labels_pt == INT_MAX, -1, labels_pt)
+    labels_pt = jnp.where(mask, labels_pt, -1)
+
+    # Compact representative point-indices -> dense ids.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_rep = (labels_pt == idx) & (labels_pt >= 0)
+    dense_minus1 = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+    safe = jnp.clip(labels_pt, 0, n - 1)
+    dense = jnp.where(labels_pt >= 0, dense_minus1[safe], -1)
+    return (dense.astype(jnp.int32), jnp.sum(is_rep.astype(jnp.int32)),
+            grid.overflow)
 
 
 def cluster_centroids(points: jnp.ndarray, labels: jnp.ndarray,

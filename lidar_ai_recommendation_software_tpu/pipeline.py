@@ -43,10 +43,33 @@ def analyze_cloud(cloud: PointCloud, uniforms: jnp.ndarray,
     return processed, people, AnalysisResults(density=dres, flow=fres)
 
 
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache — first-compile of the analytics
+    program costs minutes at large static capacities; cache it across
+    processes."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    try:
+        import os
+        path = os.environ.get("LIDAR_TPU_COMPILE_CACHE",
+                              os.path.expanduser("~/.cache/lidar_tpu_xla"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    except Exception:  # cache is an optimisation, never a requirement
+        pass
+
+
 class Pipeline:
     """Host-facing orchestrator with reference-shaped outputs."""
 
     def __init__(self, config: PipelineConfig = MONOLITH_CONFIG):
+        enable_compilation_cache()
         self.config = config
         self._uniforms = jnp.asarray(
             flow_mod.bottleneck_uniforms(config.flow.random_seed,
@@ -76,13 +99,26 @@ class Pipeline:
         gy = bucket32(need_y, cap.grid_cells_y)
         max_people = max(cap.max_people,
                          1 << max(1, (max(1, n // 8) - 1).bit_length()))
+
+        # Cluster column grid: aim for eps-sized columns, bounded so the
+        # dense table stays HBM-friendly; cells auto-grow past the bound
+        # (ops/columns.py) and the overflow diagnostic guards exactness.
+        eps = self.config.preprocess.dbscan_eps
+        ccx = bucket32(min(int((maxs[0] - mins[0]) / eps) + 2, 768),
+                       cap.cluster_cells_x)
+        ccy = bucket32(min(int((maxs[1] - mins[1]) / eps) + 2, 768),
+                       cap.cluster_cells_y)
+
         if (max_points == cap.max_points and gx == cap.grid_cells_x
                 and gy == cap.grid_cells_y
-                and max_people == cap.max_people):
+                and max_people == cap.max_people
+                and ccx == cap.cluster_cells_x
+                and ccy == cap.cluster_cells_y):
             return self.config
         return self.config.with_capacity(
             max_points=max_points, grid_cells_x=gx, grid_cells_y=gy,
-            max_people=max_people)
+            max_people=max_people, cluster_cells_x=ccx,
+            cluster_cells_y=ccy)
 
     def analyze_device(self, cloud: PointCloud,
                        config: Optional[PipelineConfig] = None):
@@ -106,6 +142,14 @@ class Pipeline:
         cfg = self.fit_capacity(points)
         cloud = PointCloud.from_numpy(points, cfg.capacity.max_points)
         processed, people, res = self.analyze_device(cloud, cfg)
+        # Exactness guard: if any clustering column overflowed its static
+        # capacity, double it (bounded) and re-run — keeps DBSCAN parity on
+        # adversarially dense scenes at the cost of one recompile.
+        while (int(processed.cluster_overflow) > 0
+               and cfg.capacity.cluster_column_cap < 512):
+            cfg = cfg.with_capacity(
+                cluster_column_cap=cfg.capacity.cluster_column_cap * 2)
+            processed, people, res = self.analyze_device(cloud, cfg)
         density_results = res.density.to_host_dict()
         flow_results = res.flow.to_host_dict()
         if offset.any():

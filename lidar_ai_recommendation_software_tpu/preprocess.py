@@ -128,9 +128,10 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
         eps = pc.dbscan_eps
         cluster_pts = pts
 
-    labels, n_clusters = clustering.dbscan_labels(
+    labels, n_clusters, overflow = clustering.dbscan_labels(
         cluster_pts, non_ground, eps, pc.dbscan_min_samples,
-        bucket_capacity=cap.bucket_capacity, max_iters=cap.max_cc_iters)
+        ncx=cap.cluster_cells_x, ncy=cap.cluster_cells_y,
+        column_cap=cap.cluster_column_cap, max_iters=cap.max_cc_iters)
 
     # Reference skips clustering when <= min_cluster_points non-ground
     # points and labels them all cluster 0 (data_processing.py:188-200).
@@ -146,4 +147,5 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
         points=pts, mask=inlier, colors=colors, normals=normals,
         labels=labels.astype(jnp.int32), ground_mask=ground,
         ground_plane=plane, mins=mins, maxs=maxs,
-        n_clusters=n_clusters.astype(jnp.int32))
+        n_clusters=n_clusters.astype(jnp.int32),
+        cluster_overflow=overflow.astype(jnp.int32))

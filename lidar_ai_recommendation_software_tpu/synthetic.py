@@ -34,11 +34,15 @@ def sample_venue(n_points: int = 10000, n_people: int = 50,
     centers = rng.uniform(-people_extent, people_extent, (n_people, 2))
 
     # Nearest-centre distance per point (vectorised, identical result to the
-    # reference's per-point loop).
-    d2 = ((x[:, None] - centers[None, :, 0]) ** 2
-          + (y[:, None] - centers[None, :, 1]) ** 2)
-    min_dist = np.sqrt(d2.min(axis=1))
-    person_mask = min_dist < person_radius
+    # reference's per-point loop; chunked so the (n, n_people) distance
+    # matrix never materialises for multi-million-point venues).
+    person_mask = np.empty(n_points, dtype=bool)
+    chunk = max(1, min(n_points, (1 << 24) // max(1, n_people)))
+    for s in range(0, n_points, chunk):
+        e = min(n_points, s + chunk)
+        d2 = ((x[s:e, None] - centers[None, :, 0]) ** 2
+              + (y[s:e, None] - centers[None, :, 1]) ** 2)
+        person_mask[s:e] = np.sqrt(d2.min(axis=1)) < person_radius
 
     # The reference draws one uniform per in-person point, in increasing
     # point order — replicate the stream consumption.

@@ -78,6 +78,8 @@ class ProcessedCloud:
     mins: Array          # (3,)    inlier bbox minimum
     maxs: Array          # (3,)    inlier bbox maximum
     n_clusters: Array    # ()      int32 number of person clusters
+    cluster_overflow: Array  # ()  int32 points dropped by column-cap
+                             #     overflow (0 => clustering is exact)
 
     @property
     def dimensions(self) -> Dict[str, Any]:

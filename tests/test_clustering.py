@@ -25,9 +25,10 @@ def _run_ours(pts, eps, min_samples, cap=None):
     buf[:n] = pts
     mask = np.zeros(cap, bool)
     mask[:n] = True
-    labels, ncl = clustering.dbscan_labels(
+    labels, ncl, overflow = clustering.dbscan_labels(
         jnp.asarray(buf), jnp.asarray(mask), eps, min_samples,
-        bucket_capacity=64, neighbor_capacity=64)
+        ncx=128, ncy=128, column_cap=128)
+    assert int(overflow) == 0
     return np.asarray(labels)[:n], int(ncl)
 
 
@@ -58,6 +59,32 @@ def test_dbscan_fixture_census(fixture_points, oracle_monolith):
     assert ncl == sk.max() + 1 == 446
     assert (ours == -1).sum() == (sk == -1).sum()
     assert _census(ours, ng) == _census(sk, ng)
+
+
+def test_dbscan_columns_matches_bruteforce():
+    """The venue-scale column-grid path must agree with the exact
+    all-pairs path (and sklearn) on a spread-out venue."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(11)
+    centers = rng.uniform(-25, 25, (150, 2))
+    n = 3000
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, :2] = centers[rng.randint(0, 150, n)] + rng.normal(0, 0.12,
+                                                              (n, 2))
+    pts[:, 2] = rng.uniform(0, 1.8, n)
+    cap = 4096
+    buf = np.zeros((cap, 3), np.float32)
+    buf[:n] = pts
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    sk = DBSCAN(eps=0.35, min_samples=5).fit(pts).labels_
+    lab_c, ncl_c, ovf = clustering.dbscan_columns(
+        jnp.asarray(buf), jnp.asarray(mask), 0.35, 5,
+        ncx=128, ncy=128, column_cap=64)
+    assert int(ovf) == 0
+    lab_c = np.asarray(lab_c)[:n]
+    assert int(ncl_c) == sk.max() + 1
+    assert _census(lab_c, pts) == _census(sk, pts)
 
 
 def test_cluster_centroids_segment_mean():
