@@ -1,0 +1,211 @@
+"""Command-line front-end.
+
+The TPU-native counterpart of the reference's Streamlit wizard flow
+(app.py:1-394 Upload -> Visualize -> Analyze -> Recommend -> Report) as a
+scriptable CLI. A Streamlit front-end with the same tabs lives in
+``app.py`` (gated on streamlit being installed).
+
+Commands:
+  lidar-crowd analyze <cloud> [--report out.html] [--json out.json]
+                      [--variant monolith|modular] [--store db.sqlite]
+  lidar-crowd sample  [--points N] [--out venue.npy]
+  lidar-crowd bench   [--points N]
+  lidar-crowd info    <cloud>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lidar-crowd",
+        description="TPU-native LiDAR crowd analytics")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    a = sub.add_parser("analyze", help="run the full analytics pipeline")
+    a.add_argument("cloud", help="point cloud file "
+                   "(csv/xyz/txt/npy/pcd/ply/las) or 'sample'")
+    a.add_argument("--variant", choices=["monolith", "modular"],
+                   default="monolith")
+    a.add_argument("--report", help="write HTML report to this path")
+    a.add_argument("--json", dest="json_out",
+                   help="write results JSON to this path")
+    a.add_argument("--store", help="persist results to this SQLite file")
+    a.add_argument("--event", default="", help="event name for the store")
+    a.add_argument("--no-figures", action="store_true",
+                   help="skip figure rendering in the report")
+
+    s = sub.add_parser("sample", help="generate the synthetic venue")
+    s.add_argument("--points", type=int, default=10_000)
+    s.add_argument("--out", default="venue.npy")
+
+    b = sub.add_parser("bench", help="quick pipeline benchmark")
+    b.add_argument("--points", type=int, default=100_000)
+
+    i = sub.add_parser("info", help="inspect a point cloud file")
+    i.add_argument("cloud")
+    return p
+
+
+def _load(path: str) -> np.ndarray:
+    from lidar_ai_recommendation_software_tpu.synthetic import sample_venue
+    from lidar_ai_recommendation_software_tpu.utils import io as pio
+    if path == "sample":
+        return sample_venue()
+    return pio.load_points(path)
+
+
+def cmd_analyze(args) -> int:
+    from lidar_ai_recommendation_software_tpu.config import (
+        MODULAR_CONFIG, MONOLITH_CONFIG)
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+
+    points = _load(args.cloud)
+    cfg = MONOLITH_CONFIG if args.variant == "monolith" else MODULAR_CONFIG
+    t0 = time.time()
+    pipe = Pipeline(cfg)
+    out = pipe.analyze(points)
+    dt = time.time() - t0
+
+    d, f, r = out["density"], out["flow"], out["recommendations"]
+    print(f"Analyzed {len(points):,} points in {dt:.2f}s "
+          f"({len(points) / dt:,.0f} pts/s incl. compile)")
+    print(f"  people detected : {d['total_people']}")
+    print(f"  avg / max density: {d['avg_density']:.2f} / "
+          f"{d['max_density']:.2f} people/m²")
+    print(f"  avg speed       : {f['avg_speed']:.2f} m/s "
+          f"(dominant {f['dominant_direction']})")
+    print(f"  hotspots        : {len(d['hotspots'])}")
+    print(f"  bottlenecks     : {len(f['bottlenecks'])}")
+    print(f"  issues/actions  : {len(r['issues'])}/{len(r['actions'])}")
+
+    if args.json_out:
+        payload = {
+            "density": {k: v for k, v in d.items()
+                        if k not in ("density_map", "density_grid")},
+            "flow": {k: v for k, v in f.items() if k != "flow_vectors"},
+            "recommendations": r,
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump(payload, fh, indent=2, default=_np_default)
+        print(f"  results JSON    : {args.json_out}")
+
+    if args.report:
+        from lidar_ai_recommendation_software_tpu.utils.report import (
+            generate_report)
+        html = generate_report(
+            d, f, r,
+            processed_summary={"source": args.cloud,
+                               "points": len(points)},
+            include_figures=not args.no_figures)
+        with open(args.report, "w") as fh:
+            fh.write(html)
+        print(f"  HTML report     : {args.report}")
+
+    if args.store:
+        from lidar_ai_recommendation_software_tpu.utils.store import (
+            ResultsStore)
+        store = ResultsStore(args.store)
+        eid = store.create_event(args.event or args.cloud)
+        aid = store.create_analysis(event_id=eid,
+                                    point_summary={"n": len(points)})
+        store.save_density_results(
+            aid, {k: v for k, v in d.items()
+                  if k not in ("density_map", "density_grid")})
+        store.save_flow_results(
+            aid, {k: v for k, v in f.items() if k != "flow_vectors"})
+        store.save_recommendations(aid, r)
+        if args.report:
+            with open(args.report) as fh:
+                store.save_report(aid, fh.read(), title=args.cloud)
+        store.close()
+        print(f"  stored analysis : id {aid} in {args.store}")
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from lidar_ai_recommendation_software_tpu.synthetic import (
+        sample_venue, scaled_venue)
+    from lidar_ai_recommendation_software_tpu.utils import io as pio
+    pts = (sample_venue() if args.points == 10_000
+           else scaled_venue(args.points))
+    pio.save_points(args.out, pts)
+    print(f"wrote {len(pts):,} points to {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+    from lidar_ai_recommendation_software_tpu.synthetic import scaled_venue
+    from lidar_ai_recommendation_software_tpu.types import PointCloud
+
+    pts = scaled_venue(args.points)
+    pipe = Pipeline()
+    cfg = pipe.fit_capacity(pts)
+    clouds = [PointCloud.from_numpy(pts + i * 1e-4,
+                                    cfg.capacity.max_points)
+              for i in range(4)]
+    t0 = time.time()
+    r = pipe.analyze_device(clouds[0], cfg)
+    people = int(r[2].density.total_people)
+    print(f"compile+first: {time.time() - t0:.1f}s "
+          f"(people={people}, device={jax.devices()[0]})")
+    t0 = time.time()
+    for c in clouds:
+        r = pipe.analyze_device(c, cfg)
+    _ = float(r[2].density.max_density)
+    dt = (time.time() - t0) / len(clouds)
+    print(f"steady-state : {dt * 1000:.1f} ms/cloud -> "
+          f"{args.points / dt:,.0f} points/s")
+    return 0
+
+
+def cmd_info(args) -> int:
+    pts = _load(args.cloud)
+    mins = pts.min(axis=0)
+    maxs = pts.max(axis=0)
+    print(f"{args.cloud}: {len(pts):,} points")
+    print(f"  x: [{mins[0]:.2f}, {maxs[0]:.2f}]  "
+          f"y: [{mins[1]:.2f}, {maxs[1]:.2f}]  "
+          f"z: [{mins[2]:.2f}, {maxs[2]:.2f}]")
+    return 0
+
+
+def _np_default(o):
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    raise TypeError(str(type(o)))
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    try:
+        return {"analyze": cmd_analyze, "sample": cmd_sample,
+                "bench": cmd_bench, "info": cmd_info}[args.command](args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename}", file=sys.stderr)
+        return 2
+    except Exception as e:
+        from lidar_ai_recommendation_software_tpu.utils.io import (
+            LoaderError)
+        if isinstance(e, LoaderError):
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())
