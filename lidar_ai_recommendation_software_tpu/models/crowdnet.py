@@ -1,0 +1,135 @@
+"""CrowdNet — the flagship neural model.
+
+A PointNet++-style hierarchical point-feature encoder with a BEV
+(bird's-eye-view) analytics head, per the build target (BASELINE.json
+north star: "FPS + ball query + grouping + shared-MLP set abstraction —
+the PointNet++ core behind crowd_density_model and crowd_flow_model").
+It learns the analytic pipeline's outputs (density map, flow field,
+congestion) directly from raw points, replacing the reference's
+hand-written grid statistics with a trainable model that runs entirely on
+the MXU:
+
+  points (N,3) -> SA1 (FPS 2048, r=0.4, K=32, MLP 32-32-64)
+              -> SA2 (FPS 512,  r=1.0, K=32, MLP 64-64-128)
+              -> BEV scatter-mean (G x G x 128)
+              -> 3x conv3x3 trunk
+              -> heads: density (G,G) people/m^2 [softplus],
+                        flow (G,G,2) m/s,
+                        congestion (G,G) 0-1 [sigmoid]
+
+All shapes static; masks carried throughout. Single-example modules are
+vmapped by the train step (flax lifted vmap keeps one parameter set).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lidar_ai_recommendation_software_tpu.ops.grouping import (
+    ball_group, group_features)
+from lidar_ai_recommendation_software_tpu.ops.sampling import (
+    farthest_point_sampling)
+
+
+class SetAbstraction(nn.Module):
+    """One PointNet++ SA layer (single example)."""
+
+    n_samples: int
+    radius: float
+    k: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, points, features, mask):
+        idx = farthest_point_sampling(points, mask, self.n_samples)
+        centroids = points[idx]                       # (M, 3)
+        cmask = mask[idx]
+        gidx, gvalid = ball_group(centroids, cmask, points, mask,
+                                  self.radius, self.k)
+        g = group_features(points, features, centroids, gidx, gvalid)
+
+        for ch in self.mlp:
+            g = nn.Dense(ch, dtype=jnp.float32)(g)
+            g = nn.relu(g)
+        # masked max-pool over the K neighbors
+        neg = jnp.asarray(-1e9, g.dtype)
+        g = jnp.where(gvalid[..., None], g, neg)
+        pooled = jnp.max(g, axis=1)                   # (M, C)
+        pooled = jnp.where(cmask[:, None], pooled, 0.0)
+        return centroids, pooled, cmask
+
+
+class BEVHead(nn.Module):
+    """Scatter point features onto a BEV grid and run a conv trunk."""
+
+    grid: int
+    channels: Sequence[int] = (128, 64)
+
+    @nn.compact
+    def __call__(self, centroids, features, cmask, venue_min, venue_size):
+        g = self.grid
+        rel = (centroids[:, :2] - venue_min[None, :]) / venue_size
+        cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
+        flat = jnp.where(cmask, cell[:, 0] * g + cell[:, 1], g * g)
+        ones = cmask.astype(features.dtype)
+        sums = jax.ops.segment_sum(features * ones[:, None], flat,
+                                   num_segments=g * g + 1)[:-1]
+        cnts = jax.ops.segment_sum(ones, flat,
+                                   num_segments=g * g + 1)[:-1]
+        bev = sums / jnp.maximum(cnts, 1.0)[:, None]
+        bev = bev.reshape(g, g, -1)
+        occupancy = (cnts > 0).astype(bev.dtype).reshape(g, g, 1)
+        h = jnp.concatenate([bev, occupancy], axis=-1)
+
+        for ch in self.channels:
+            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=jnp.float32)(h)
+            h = nn.relu(h)
+        return h
+
+
+class CrowdNet(nn.Module):
+    """Full model (single example)."""
+
+    sa1_samples: int = 2048
+    sa2_samples: int = 512
+    grid: int = 64
+
+    @nn.compact
+    def __call__(self, points, mask, venue_min, venue_size):
+        c1, f1, m1 = SetAbstraction(self.sa1_samples, 0.4, 32,
+                                    (32, 32, 64), name="sa1")(
+            points, None, mask)
+        c2, f2, m2 = SetAbstraction(self.sa2_samples, 1.0, 32,
+                                    (64, 64, 128), name="sa2")(
+            c1, f1, m1)
+        h = BEVHead(self.grid, name="bev")(c2, f2, m2, venue_min,
+                                           venue_size)
+        density = nn.softplus(
+            nn.Conv(1, (1, 1), name="density_head")(h))[..., 0]
+        flow = nn.Conv(2, (1, 1), name="flow_head")(h)
+        congestion = nn.sigmoid(
+            nn.Conv(1, (1, 1), name="congestion_head")(h))[..., 0]
+        return {"density": density, "flow": flow,
+                "congestion": congestion}
+
+
+class BatchedCrowdNet(nn.Module):
+    """Batch wrapper: one parameter set, vmapped example axis."""
+
+    sa1_samples: int = 2048
+    sa2_samples: int = 512
+    grid: int = 64
+
+    @nn.compact
+    def __call__(self, points, mask, venue_min, venue_size):
+        net = nn.vmap(
+            CrowdNet,
+            in_axes=(0, 0, 0, 0), out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(self.sa1_samples, self.sa2_samples, self.grid)
+        return net(points, mask, venue_min, venue_size)

@@ -1,0 +1,211 @@
+"""CrowdNet training: distillation of the analytic pipeline.
+
+The reference has no training loop at all (its "flow model" is a seeded
+simulation, crowd_flow_model.py:19-26). Here CrowdNet learns the analytic
+targets — BEV density map, flow field and congestion — from raw points, so
+inference collapses the whole preprocess->cluster->grid pipeline into one
+MXU forward pass.
+
+Pieces: label synthesis from venue recipes (host NumPy), a jitted
+``train_step`` (masked Huber density + MSE flow + BCE congestion, AdamW),
+an Orbax checkpoint helper, and ``fit`` — a minimal loop used by tests and
+the bench. Multi-chip sharding of this step lives in parallel/trainer.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from lidar_ai_recommendation_software_tpu.models.crowdnet import (
+    BatchedCrowdNet)
+from lidar_ai_recommendation_software_tpu.synthetic import sample_venue
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 4
+    n_points: int = 8192
+    grid: int = 64
+    sa1_samples: int = 1024
+    sa2_samples: int = 256
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-4
+    density_weight: float = 1.0
+    flow_weight: float = 1.0
+    congestion_weight: float = 0.25
+    seed: int = 0
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_model(cfg: TrainConfig) -> BatchedCrowdNet:
+    return BatchedCrowdNet(sa1_samples=cfg.sa1_samples,
+                           sa2_samples=cfg.sa2_samples, grid=cfg.grid)
+
+
+def synth_example(rng: np.random.RandomState, cfg: TrainConfig):
+    """One venue + its analytic BEV labels (host side).
+
+    Density label: people-count histogram per BEV cell / cell area, from
+    the true generator person centres (the analytic pipeline's estimand).
+    Flow label: the deterministic exit+swirl+damping field evaluated at
+    cell centres (crowd_flow_model.py:107-175 semantics). Congestion:
+    density/(speed+0.1) normalised (visualization.py:322-326)."""
+    n = cfg.n_points
+    extent = float(rng.uniform(10.0, 20.0))
+    n_people = int(rng.randint(20, 80))
+    seed = int(rng.randint(0, 2 ** 31 - 1))
+    pts = sample_venue(n_points=n, n_people=n_people, extent=extent,
+                       people_extent=extent * 0.66, seed=seed)
+
+    # person centres drive the density label; rebuild them from the same
+    # stream the generator consumed
+    r2 = np.random
+    r2.seed(seed)
+    r2.uniform(-extent, extent, n)
+    r2.uniform(-extent, extent, n)
+    centers = r2.uniform(-extent * 0.66, extent * 0.66, (n_people, 2))
+
+    g = cfg.grid
+    vmin = pts[:, :2].min(axis=0)
+    vmax = pts[:, :2].max(axis=0)
+    vsize = float(max(vmax[0] - vmin[0], vmax[1] - vmin[1])) + 1e-6
+    cell_area = (vsize / g) ** 2
+
+    ci = np.clip(((centers - vmin) / vsize * g).astype(int), 0, g - 1)
+    density = np.zeros((g, g), np.float32)
+    np.add.at(density, (ci[:, 0], ci[:, 1]), 1.0)
+    density /= cell_area
+
+    # flow field at cell centres
+    xcen = vmin[0] + (np.arange(g) + 0.5) * vsize / g
+    yc = vmin[1] + (np.arange(g) + 0.5) * vsize / g
+    X, Y = np.meshgrid(xcen, yc, indexing="ij")
+    exit_x, exit_y = vmax[0], (vmin[1] + vmax[1]) / 2
+    dx, dy = exit_x - X, exit_y - Y
+    dist = np.sqrt(dx * dx + dy * dy) + 1e-9
+    ux, uy = dx / dist, dy / dist
+    ang = np.sin(X * 0.3) * np.cos(Y * 0.3) * 0.5
+    vx = ux * np.cos(ang) - uy * np.sin(ang)
+    vy = ux * np.sin(ang) + uy * np.cos(ang)
+    r3 = np.random.RandomState(42)
+    for _ in range(3):
+        bx = vmin[0] + 1 + r3.uniform() * (vmax[0] - vmin[0] - 2)
+        by = vmin[1] + 1 + r3.uniform() * (vmax[1] - vmin[1] - 2)
+        d = np.sqrt((X - bx) ** 2 + (Y - by) ** 2)
+        damp = np.where(d < 3.0, d / 3.0, 1.0)
+        vx *= damp
+        vy *= damp
+    mag = np.sqrt(vx * vx + vy * vy)
+    scale = 1.3 / mag.max() if mag.max() > 0 else 1.0
+    vx, vy = vx * scale, vy * scale
+    mag = np.sqrt(vx * vx + vy * vy)
+    flow = np.stack([vx, vy], axis=-1).astype(np.float32)
+
+    congestion = density / (mag + 0.1)
+    cmax = congestion.max()
+    congestion = (congestion / cmax if cmax > 0
+                  else congestion).astype(np.float32)
+
+    return {
+        "points": pts.astype(np.float32),
+        "mask": np.ones(n, bool),
+        "venue_min": vmin.astype(np.float32),
+        "venue_size": np.float32(vsize),
+        "density": density,
+        "flow": flow,
+        "congestion": congestion,
+    }
+
+
+def make_batch(rng: np.random.RandomState, cfg: TrainConfig) -> Dict:
+    exs = [synth_example(rng, cfg) for _ in range(cfg.batch_size)]
+    return {k: np.stack([e[k] for e in exs]) for k in exs[0]}
+
+
+def loss_fn(params, apply_fn, batch, cfg: TrainConfig):
+    out = apply_fn({"params": params}, batch["points"], batch["mask"],
+                   batch["venue_min"], batch["venue_size"])
+    # Huber on density (robust to hot cells), MSE flow, BCE congestion
+    d_err = optax.huber_loss(out["density"], batch["density"],
+                             delta=2.0).mean()
+    f_err = jnp.mean((out["flow"] - batch["flow"]) ** 2)
+    eps = 1e-6
+    c = jnp.clip(out["congestion"], eps, 1 - eps)
+    c_err = -jnp.mean(batch["congestion"] * jnp.log(c)
+                      + (1 - batch["congestion"]) * jnp.log(1 - c))
+    loss = (cfg.density_weight * d_err + cfg.flow_weight * f_err
+            + cfg.congestion_weight * c_err)
+    metrics = {"loss": loss, "density_mae":
+               jnp.mean(jnp.abs(out["density"] - batch["density"])),
+               "flow_mse": f_err}
+    return loss, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(state: TrainState, batch, cfg: TrainConfig):
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, metrics), grads = grad_fn(state.params, state.apply_fn, batch,
+                                  cfg)
+    return state.apply_gradients(grads=grads), metrics
+
+
+def init_state(cfg: TrainConfig,
+               rng: Optional[jax.Array] = None) -> TrainState:
+    model = make_model(cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    dummy = make_batch(np.random.RandomState(cfg.seed), cfg)
+    params = model.init(rng, jnp.asarray(dummy["points"]),
+                        jnp.asarray(dummy["mask"]),
+                        jnp.asarray(dummy["venue_min"]),
+                        jnp.asarray(dummy["venue_size"]))["params"]
+    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def fit(cfg: TrainConfig, steps: int,
+        state: Optional[TrainState] = None,
+        log_every: int = 10) -> Tuple[TrainState, Dict]:
+    rng = np.random.RandomState(cfg.seed)
+    state = state or init_state(cfg)
+    metrics = {}
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in make_batch(rng, cfg).items()}
+        state, metrics = train_step(state, batch, cfg)
+        if log_every and (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"step {i + 1}: {m}")
+    return state, {k: float(v) for k, v in metrics.items()}
+
+
+# -- checkpointing (Orbax) --------------------------------------------------
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, {"params": state.params,
+                     "opt_state": state.opt_state,
+                     "step": state.step}, force=True)
+    ckpt.wait_until_finished()
+
+
+def restore_checkpoint(path: str, cfg: TrainConfig) -> TrainState:
+    import orbax.checkpoint as ocp
+    ref = init_state(cfg)
+    ckpt = ocp.StandardCheckpointer()
+    target = {"params": ref.params, "opt_state": ref.opt_state,
+              "step": ref.step}
+    restored = ckpt.restore(path, target)
+    return ref.replace(params=restored["params"],
+                       opt_state=restored["opt_state"],
+                       step=restored["step"])

@@ -1,0 +1,136 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4(c)):
+sharded results must match single-device results."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_ai_recommendation_software_tpu.config import MONOLITH_CONFIG
+from lidar_ai_recommendation_software_tpu.models import flow as flow_mod
+from lidar_ai_recommendation_software_tpu.models.train import TrainConfig
+from lidar_ai_recommendation_software_tpu.parallel import spatial
+from lidar_ai_recommendation_software_tpu.parallel.mesh import (
+    make_mesh, spatial_mesh, train_mesh)
+from lidar_ai_recommendation_software_tpu.parallel.trainer import (
+    run_sharded_steps)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+TINY = TrainConfig(batch_size=4, n_points=256, grid=8, sa1_samples=64,
+                   sa2_samples=16)
+
+
+class TestShardedTraining:
+    def test_dp_mp_step_runs(self):
+        m = run_sharded_steps(TINY, train_mesh(8), n_steps=2)
+        assert np.isfinite(m["loss"])
+
+    def test_pure_dp_step_runs(self):
+        cfg = TrainConfig(batch_size=8, n_points=256, grid=8,
+                          sa1_samples=64, sa2_samples=16)
+        m = run_sharded_steps(cfg, make_mesh((("dp", 8), ("mp", 1))),
+                              n_steps=1)
+        assert np.isfinite(m["loss"])
+
+    def test_dp_matches_single_device(self):
+        """Same batch, same init: dp-sharded step == unsharded step."""
+        from lidar_ai_recommendation_software_tpu.models.train import (
+            init_state, make_batch, train_step)
+        from lidar_ai_recommendation_software_tpu.parallel.trainer import (
+            make_sharded_train_step, sharded_init)
+
+        cfg = TINY
+        rng = np.random.RandomState(0)
+        batch_np = make_batch(rng, cfg)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+        s0 = init_state(cfg)
+        s1, m1 = train_step(s0, batch, cfg)
+
+        mesh = make_mesh((("dp", 4), ("mp", 2)))
+        ss = sharded_init(cfg, mesh)
+        step = make_sharded_train_step(cfg, mesh, ss)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        bsh = {k: jax.device_put(v, NamedSharding(mesh, P("dp")))
+               for k, v in batch.items()}
+        ss1, m2 = step(ss, bsh)
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+
+
+class TestSpatialSharding:
+    def test_sharded_density_matches(self, fixture_points, oracle_monolith):
+        from lidar_ai_recommendation_software_tpu.models import (
+            density as dm)
+        from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+        pipe = Pipeline(MONOLITH_CONFIG)
+        cfg = pipe.fit_capacity(fixture_points)
+        from lidar_ai_recommendation_software_tpu.types import PointCloud
+        cloud = PointCloud.from_numpy(fixture_points,
+                                      cfg.capacity.max_points)
+        processed, people, res = pipe.analyze_device(cloud, cfg)
+
+        mesh = spatial_mesh(8)
+        grid_sharded = spatial.sharded_radius_density(
+            people.positions, people.mask,
+            jnp.stack([processed.mins[0], processed.mins[1]]),
+            res.density.nx, res.density.ny, cfg, mesh)
+        np.testing.assert_allclose(np.asarray(grid_sharded),
+                                   np.asarray(res.density.density_grid),
+                                   atol=1e-6)
+
+    def test_sharded_flow_matches(self, fixture_points):
+        from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+        from lidar_ai_recommendation_software_tpu.types import PointCloud
+        pipe = Pipeline(MONOLITH_CONFIG)
+        cfg = pipe.fit_capacity(fixture_points)
+        cloud = PointCloud.from_numpy(fixture_points,
+                                      cfg.capacity.max_points)
+        processed, people, res = pipe.analyze_device(cloud, cfg)
+        u = jnp.asarray(flow_mod.bottleneck_uniforms(), jnp.float32)
+
+        # single-device internals
+        vec1, mag1, valid1, nx, ny = flow_mod.synthesize_flow(
+            processed, u, cfg)
+        sev1, ok1 = flow_mod._bottlenecks_monolith(mag1, valid1, cfg)
+
+        mesh = spatial_mesh(8)
+        vec2, mag2, valid2, sev2, ok2 = \
+            spatial.sharded_flow_and_bottlenecks(
+                processed.mins[:2], processed.maxs[:2], u, cfg, mesh)
+
+        np.testing.assert_allclose(np.asarray(mag2),
+                                   np.asarray(jnp.where(valid1, mag1,
+                                                        0.0)), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(valid2),
+                                      np.asarray(valid1))
+        np.testing.assert_array_equal(
+            np.asarray(ok2), np.asarray(ok1))
+        # severities agree on accepted bottleneck nodes
+        np.testing.assert_array_equal(
+            np.asarray(sev2)[np.asarray(ok2)],
+            np.asarray(sev1)[np.asarray(ok1)])
+
+
+class TestHaloExchange:
+    def test_halo_roundtrip(self):
+        mesh = spatial_mesh(8)
+        from jax.sharding import PartitionSpec as P
+        x = jnp.arange(64.0).reshape(64, 1)
+
+        def fn(local):
+            return spatial.halo_exchange_x(local, 2, "sp")
+
+        out = jax.shard_map(fn, mesh=mesh, in_specs=P("sp"),
+                            out_specs=P("sp"))(x)
+        out = np.asarray(out).reshape(8, 12)
+        # shard 1 holds rows 8..15; its halo = rows 6,7 | 8..15 | 16,17
+        np.testing.assert_allclose(out[1], [6, 7, 8, 9, 10, 11, 12, 13,
+                                            14, 15, 16, 17])
+        # boundary shards get zero halos
+        np.testing.assert_allclose(out[0][:2], [0, 0])
+        np.testing.assert_allclose(out[7][-2:], [0, 0])
