@@ -67,6 +67,16 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
     ppl = people.positions
     pmask = people.mask
 
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: MXU cross-term distance + fused compare/count
+        # (ops/pallas/kernels.py); cells tile through the grid, people
+        # stay VMEM-resident.
+        from lidar_ai_recommendation_software_tpu.ops.pallas import (
+            kernels as pk)
+        counts = pk.radius_count(centers, ppl, pmask, radius)
+        counts = jnp.where(cell_valid, counts, 0)
+        return counts.reshape(gx_cap, gy_cap)
+
     def chunk_fn(args):
         c, cv = args
         d2 = jnp.sum((c[:, None, :] - ppl[None, :, :]) ** 2, axis=-1)

@@ -1,0 +1,241 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+Three kernels, each with identical-semantics jnp fallbacks (used on
+non-TPU backends and as test oracles):
+
+  - ``radius_count``: people-within-radius count per cell centre — the
+    reference's hottest loop (app_simplified.py:269-281, per-cell KD-tree
+    queries in Python). Formulated as |c|^2 + |p|^2 - 2 c.p so the cross
+    term rides the MXU; cells are tiled over the grid, the people tensor
+    streams through VMEM.
+  - ``sa_mlp_pool``: the set-abstraction inner loop — 3-layer shared MLP
+    over grouped features fused with the masked max-pool, so the
+    (M, K, hidden) intermediates never round-trip to HBM.
+  - ``fps``: farthest-point sampling with the whole distance cache
+    resident in VMEM; the sequential selection loop runs on-core instead
+    of issuing M host-visible argmax reductions.
+
+All kernels run in interpreter mode automatically off-TPU
+(``interpret=jax.default_backend() != "tpu"``), so the same code path is
+unit-tested on CPU and compiled by Mosaic on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# radius_count
+# ---------------------------------------------------------------------------
+
+def _radius_count_kernel(r2_ref, centers_ref, people_ref, pmask_ref,
+                         out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    c = centers_ref[:]                     # (TC, 2)
+    p = people_ref[:]                      # (TK, 2)
+    pm = pmask_ref[:]                      # (TK,)
+    r2 = r2_ref[0]
+    # direct difference form (not |c|^2+|p|^2-2c.p): the coordinates are
+    # venue-scale (~1e1-1e3) while r^2 is ~4, so the cancellation in the
+    # dot-product form costs ~1e-5 relative error — enough to flip
+    # borderline counts and break bit-parity with the CPU oracle
+    dx = c[:, 0:1] - p[None, :, 0]          # (TC, TK)
+    dy = c[:, 1:2] - p[None, :, 1]
+    d2 = dx * dx + dy * dy
+    hit = (d2 <= r2) & (pm[None, :] > 0)
+    out_ref[:] += jnp.sum(hit.astype(jnp.int32), axis=1)
+
+
+def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
+                 pmask: jnp.ndarray, radius: float, tile: int = 512,
+                 people_tile: int = 2048) -> jnp.ndarray:
+    """Count valid people within ``radius`` (inclusive) of each centre.
+
+    centers: (C, 2); people: (K, 2); pmask: (K,) bool -> (C,) int32.
+    2-D grid: centre tiles x people tiles, counts accumulated in the
+    revisited output block so the (TC, TK) distance tile stays in VMEM."""
+    c = centers.shape[0]
+    k = people.shape[0]
+    cp = _round_up(c, tile)
+    kt = min(people_tile, _round_up(k, 128))
+    kp = _round_up(k, kt)
+    centers_p = jnp.pad(centers, ((0, cp - c), (0, 0)))
+    people_p = jnp.pad(people, ((0, kp - k), (0, 0)))
+    pmask_f = jnp.pad(pmask.astype(jnp.float32), (0, kp - k))
+    r2 = jnp.asarray([radius * radius], jnp.float32)
+
+    out = pl.pallas_call(
+        _radius_count_kernel,
+        out_shape=jax.ShapeDtypeStruct((cp,), jnp.int32),
+        grid=(cp // tile, kp // kt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 2), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i, j: (i,),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(r2, centers_p.astype(jnp.float32), people_p.astype(jnp.float32),
+      pmask_f)
+    return out[:c]
+
+
+def radius_count_reference(centers, people, pmask, radius):
+    """jnp oracle for the kernel (and the non-TPU fast path)."""
+    d2 = jnp.sum((centers[:, None, :] - people[None, :, :]) ** 2, axis=-1)
+    return jnp.sum((d2 <= radius * radius) & pmask[None, :],
+                   axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# sa_mlp_pool: fused shared-MLP + masked max-pool
+# ---------------------------------------------------------------------------
+
+def _sa_mlp_kernel(grouped_ref, valid_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   w3_ref, b3_ref, out_ref):
+    g = grouped_ref[:]                     # (TM, K, Cin)
+    v = valid_ref[:]                       # (TM, K)
+    tm, k, cin = g.shape
+    x = g.reshape(tm * k, cin)
+    x = jnp.maximum(jnp.dot(x, w1_ref[:],
+                            preferred_element_type=jnp.float32)
+                    + b1_ref[:][None, :], 0.0)
+    x = jnp.maximum(jnp.dot(x, w2_ref[:],
+                            preferred_element_type=jnp.float32)
+                    + b2_ref[:][None, :], 0.0)
+    x = jnp.maximum(jnp.dot(x, w3_ref[:],
+                            preferred_element_type=jnp.float32)
+                    + b3_ref[:][None, :], 0.0)
+    cout = x.shape[-1]
+    x = x.reshape(tm, k, cout)
+    x = jnp.where((v > 0)[..., None], x, -1e9)
+    out_ref[:] = jnp.max(x, axis=1)
+
+
+def sa_mlp_pool(grouped: jnp.ndarray, valid: jnp.ndarray,
+                weights: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                tile: int = 128) -> jnp.ndarray:
+    """Fused 3-layer shared MLP + masked max-pool.
+
+    grouped: (M, K, Cin); valid: (M, K) bool;
+    weights: [(W1, b1), (W2, b2), (W3, b3)] -> (M, Cout) f32.
+    Centroids with no valid neighbor yield 0 (matching the masked
+    pooled-feature semantics of models/crowdnet.py)."""
+    assert len(weights) == 3, "kernel is specialised to 3 MLP layers"
+    m, k, cin = grouped.shape
+    mp = _round_up(m, tile)
+    g = jnp.pad(grouped, ((0, mp - m), (0, 0), (0, 0))).astype(jnp.float32)
+    v = jnp.pad(valid, ((0, mp - m), (0, 0))).astype(jnp.float32)
+    (w1, b1), (w2, b2), (w3, b3) = [
+        (w.astype(jnp.float32), b.astype(jnp.float32))
+        for w, b in weights]
+    cout = w3.shape[1]
+
+    out = pl.pallas_call(
+        _sa_mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, cout), jnp.float32),
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, k, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b3.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(g, v, w1, b1, w2, b2, w3, b3)
+    pooled = out[:m]
+    any_valid = jnp.any(valid, axis=1)
+    return jnp.where(any_valid[:, None], pooled, 0.0)
+
+
+def sa_mlp_pool_reference(grouped, valid, weights):
+    x = grouped.astype(jnp.float32)
+    for w, b in weights:
+        x = jnp.maximum(jnp.einsum("mkc,cd->mkd", x, w) + b, 0.0)
+    x = jnp.where(valid[..., None], x, -1e9)
+    pooled = jnp.max(x, axis=1)
+    return jnp.where(jnp.any(valid, axis=1)[:, None], pooled, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# fps: farthest point sampling with VMEM-resident distance cache
+# ---------------------------------------------------------------------------
+
+def _fps_kernel(start_ref, points_ref, mask_ref, out_ref, dist_ref):
+    pts = points_ref[:]                    # (N, 3)
+    msk = mask_ref[:]                      # (N,)
+    n = pts.shape[0]
+    big = jnp.asarray(3.4e38, jnp.float32)
+    dist_ref[:] = jnp.full((n,), big, jnp.float32)
+    out_ref[0] = start_ref[0]
+
+    n_samples = out_ref.shape[0]
+
+    def body(i, last):
+        lastp = pts[last]
+        d = jnp.sum((pts - lastp[None, :]) ** 2, axis=1)
+        dist_ref[:] = jnp.minimum(dist_ref[:], d)
+        masked = jnp.where(msk > 0, dist_ref[:], -big)
+        nxt = jnp.argmax(masked).astype(jnp.int32)
+        out_ref[i] = nxt
+        return nxt
+
+    jax.lax.fori_loop(1, n_samples, body, start_ref[0])
+
+
+def fps(points: jnp.ndarray, mask: jnp.ndarray, n_samples: int,
+        start_index: int = 0) -> jnp.ndarray:
+    """Farthest-point sampling: (N, 3) + mask -> (n_samples,) int32."""
+    n = points.shape[0]
+    start = jnp.asarray([start_index], jnp.int32)
+    return pl.pallas_call(
+        _fps_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_samples,), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((n,), jnp.float32)],
+        interpret=_interpret(),
+    )(start, points.astype(jnp.float32), mask.astype(jnp.float32))

@@ -176,3 +176,27 @@ class Pipeline:
             "flow": flow_results,
             "recommendations": recommendations,
         }
+
+    def analyze_sequence(self, frames, dt: float = 1.0) -> Dict:
+        """Multi-frame analysis: density from the last frame, flow
+        *measured* by nearest-centroid tracking between the last two
+        frames (models/temporal.py) instead of the reference's simulated
+        field — the real implementation crowd_flow_model.py:19-26 defers.
+        """
+        from lidar_ai_recommendation_software_tpu.models.temporal import (
+            temporal_flow)
+
+        if len(frames) < 2:
+            return self.analyze(frames[0])
+        out = self.analyze(frames[-1])
+        prev_out = self.analyze(frames[-2])
+        processed = out["processed"]
+        res = temporal_flow(prev_out["people"], out["people"],
+                            jnp.asarray(dt, jnp.float32),
+                            processed.mins[:2], processed.maxs[:2],
+                            self.config)
+        flow_results = res.to_host_dict()
+        out["flow"] = flow_results
+        out["recommendations"] = generate_recommendations(
+            out["density"], flow_results, self.config.recommend)
+        return out
