@@ -56,20 +56,23 @@ def main():
     people_ok = (out_small["density"]["total_people"]
                  == oracle_small["density"]["total_people"])
 
-    # steady-state timing at 1M on device (jit static shapes; two different
-    # clouds alternate so no caching layer can elide work)
+    # Steady-state timing at 1M on device. Distinct input clouds per call
+    # and a value pull at the end: through the remote-device tunnel,
+    # block_until_ready returns at enqueue time, so only a host read of
+    # the final result gives honest wall-clock (device execution
+    # serialises, so the pull fences the whole run).
     cfg = pipe.fit_capacity(pts_big)
-    cloud_a = PointCloud.from_numpy(pts_big, cfg.capacity.max_points)
-    pts_b = pts_big + np.array([0.01, -0.01, 0.0])
-    cloud_b = PointCloud.from_numpy(pts_b, cfg.capacity.max_points)
+    iters = 4
+    clouds = [PointCloud.from_numpy(pts_big + i * 1e-4,
+                                    cfg.capacity.max_points)
+              for i in range(iters)]
 
-    r = pipe.analyze_device(cloud_a, cfg)
-    jax.block_until_ready(r)
-    iters = 6
+    r = pipe.analyze_device(clouds[0], cfg)
+    _ = float(r[2].density.max_density)  # warmup + fence
     t0 = time.time()
-    for i in range(iters):
-        r = pipe.analyze_device(cloud_a if i % 2 == 0 else cloud_b, cfg)
-    jax.block_until_ready(r)
+    for c in clouds:
+        r = pipe.analyze_device(c, cfg)
+    _ = float(r[2].density.max_density)
     tpu_s = (time.time() - t0) / iters
     tpu_pps = n_tpu / tpu_s
 

@@ -67,10 +67,15 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
     ppl = people.positions
     pmask = people.mask
 
-    if jax.default_backend() == "tpu":
-        # Pallas kernel: MXU cross-term distance + fused compare/count
-        # (ops/pallas/kernels.py); cells tile through the grid, people
-        # stay VMEM-resident.
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("LIDAR_TPU_PALLAS", "0") == "1"):
+        # Pallas kernel path (ops/pallas/kernels.py): tiled distance +
+        # fused compare/count with the people tensor VMEM-resident.
+        # Opt-in via LIDAR_TPU_PALLAS=1 while the tunnel environment
+        # penalises failed Mosaic compiles (a compile error can wedge the
+        # remote executor); the fused jnp path below is already
+        # HBM-bandwidth-bound on this op.
         from lidar_ai_recommendation_software_tpu.ops.pallas import (
             kernels as pk)
         counts = pk.radius_count(centers, ppl, pmask, radius)

@@ -52,23 +52,27 @@ def _radius_count_kernel(r2_ref, centers_ref, people_ref, pmask_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     c = centers_ref[:]                     # (TC, 2)
-    p = people_ref[:]                      # (TK, 2)
-    pm = pmask_ref[:]                      # (TK,)
-    r2 = r2_ref[0]
+    p = people_ref[:]                      # (2, TK) — transposed layout so
+    pm = pmask_ref[:]                      # (1, TK)   every op is a 2D
+    r2 = r2_ref[0]                         #           static slice (Mosaic
+                                           #           has no gather)
     # direct difference form (not |c|^2+|p|^2-2c.p): the coordinates are
     # venue-scale (~1e1-1e3) while r^2 is ~4, so the cancellation in the
     # dot-product form costs ~1e-5 relative error — enough to flip
     # borderline counts and break bit-parity with the CPU oracle
-    dx = c[:, 0:1] - p[None, :, 0]          # (TC, TK)
-    dy = c[:, 1:2] - p[None, :, 1]
+    dx = c[:, 0:1] - p[0:1, :]              # (TC, TK)
+    dy = c[:, 1:2] - p[1:2, :]
     d2 = dx * dx + dy * dy
-    hit = (d2 <= r2) & (pm[None, :] > 0)
+    hit = (d2 <= r2) & (pm > 0)
     out_ref[:] += jnp.sum(hit.astype(jnp.int32), axis=1)
 
 
 def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
-                 pmask: jnp.ndarray, radius: float, tile: int = 512,
+                 pmask: jnp.ndarray, radius: float, tile: int = 1024,
                  people_tile: int = 2048) -> jnp.ndarray:
+    # NB tile=1024 matches XLA's native 1-D layout tiling for 4-byte
+    # element types (T(1024)); other block sizes fail Mosaic layout
+    # verification for the s32 output.
     """Count valid people within ``radius`` (inclusive) of each centre.
 
     centers: (C, 2); people: (K, 2); pmask: (K,) bool -> (C,) int32.
@@ -80,8 +84,9 @@ def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
     kt = min(people_tile, _round_up(k, 128))
     kp = _round_up(k, kt)
     centers_p = jnp.pad(centers, ((0, cp - c), (0, 0)))
-    people_p = jnp.pad(people, ((0, kp - k), (0, 0)))
-    pmask_f = jnp.pad(pmask.astype(jnp.float32), (0, kp - k))
+    people_t = jnp.pad(people.T, ((0, 0), (0, kp - k)))      # (2, KP)
+    pmask_f = jnp.pad(pmask.astype(jnp.float32),
+                      (0, kp - k)).reshape(1, kp)            # (1, KP)
     r2 = jnp.asarray([radius * radius], jnp.float32)
 
     out = pl.pallas_call(
@@ -92,15 +97,15 @@ def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, 2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 2), lambda i, j: (j, 0),
+            pl.BlockSpec((2, kt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt,), lambda i, j: (j,),
+            pl.BlockSpec((1, kt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda i, j: (i,),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(r2, centers_p.astype(jnp.float32), people_p.astype(jnp.float32),
+    )(r2, centers_p.astype(jnp.float32), people_t.astype(jnp.float32),
       pmask_f)
     return out[:c]
 

@@ -99,7 +99,18 @@ def _load_csv(data: bytes) -> np.ndarray:
 
 def _load_text(data: bytes) -> np.ndarray:
     """XYZ/TXT: whitespace/comma/semicolon separated rows; skips
-    unparseable lines (app_simplified.py:44-56, data_loader.py:139-166)."""
+    unparseable lines (app_simplified.py:44-56, data_loader.py:139-166).
+
+    Large files route through the native C++ parser (utils/native.py);
+    the NumPy path below is the always-available fallback and the test
+    oracle for the native one."""
+    if len(data) > 1 << 16:
+        from lidar_ai_recommendation_software_tpu.utils import native
+        pts = native.parse_xyz_text(data)
+        if pts is not None:
+            if len(pts) == 0:
+                raise LoaderError("no parseable coordinate rows")
+            return pts
     text = data.decode("utf-8", errors="replace")
     # normalise separators, then let numpy parse line-wise
     rows = []
@@ -256,6 +267,12 @@ def _load_las(data: bytes) -> np.ndarray:
     end = point_data_offset + n_points * record_len
     if len(data) < end:
         n_points = (len(data) - point_data_offset) // record_len
+
+    from lidar_ai_recommendation_software_tpu.utils import native
+    pts = native.parse_las_points(data, point_data_offset, record_len,
+                                  n_points, (sx, sy, sz), (ox, oy, oz))
+    if pts is not None:
+        return pts
 
     raw = np.frombuffer(data[point_data_offset:
                              point_data_offset + n_points * record_len],
