@@ -18,6 +18,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,7 @@ def main():
     from lidar_ai_recommendation_software_tpu.synthetic import scaled_venue
     from lidar_ai_recommendation_software_tpu.types import PointCloud
 
-    n_tpu = 1_000_000
+    n_tpu = int(os.environ.get("LIDAR_BENCH_POINTS", 1_000_000))
     n_cpu = 100_000
 
     pts_small = scaled_venue(n_cpu)
