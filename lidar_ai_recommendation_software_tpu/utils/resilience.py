@@ -1,0 +1,111 @@
+"""Failure detection and graceful degradation.
+
+The reference's only failure handling is logged-error-and-return-None
+around DB calls (SURVEY.md §5). A TPU deployment needs more: remote
+accelerators disappear, compiles fail, tunnels wedge. This module
+provides:
+
+  - ``device_healthy``: a bounded-time liveness probe (tiny matmul with a
+    host read-back, executed in a watchdog thread so a wedged device
+    cannot hang the caller);
+  - ``retry``: exponential-backoff retry for transient device errors;
+  - ``FallbackPipeline``: runs the TPU pipeline, and on device failure
+    transparently degrades to the CPU oracle (oracle/reference.py) —
+    which produces the *same results* (bit-parity is what the test suite
+    asserts), so callers keep working through an outage at CPU speed.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger("lidar_tpu.resilience")
+
+
+def device_healthy(timeout_s: float = 10.0) -> bool:
+    """True when the default device executes + returns within budget."""
+    def probe():
+        import jax.numpy as jnp
+        x = jnp.ones((128, 128))
+        return float(jnp.sum(x @ x))
+
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(probe)
+        val = fut.result(timeout=timeout_s)
+        return bool(np.isfinite(val))
+    except Exception as e:  # timeout, runtime error, no device
+        logger.warning("device health probe failed: %s", e)
+        return False
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
+def retry(fn: Callable, attempts: int = 3, base_delay_s: float = 1.0,
+          retryable=(Exception,)):
+    """Call ``fn`` with exponential backoff on retryable errors."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except retryable as e:
+            last = e
+            delay = base_delay_s * (2 ** i)
+            logger.warning("attempt %d/%d failed (%s); retrying in %.1fs",
+                           i + 1, attempts, e, delay)
+            time.sleep(delay)
+    raise last
+
+
+class FallbackPipeline:
+    """Pipeline wrapper that degrades to the CPU oracle on device
+    failure. The oracle reimplements the reference algorithms exactly
+    (the golden tests assert parity), so results stay consistent."""
+
+    def __init__(self, pipeline=None, health_timeout_s: float = 20.0,
+                 probe_first: bool = False):
+        from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+        self.pipeline = pipeline or Pipeline()
+        self.health_timeout_s = health_timeout_s
+        self.probe_first = probe_first
+        self.fallbacks = 0
+
+    def analyze(self, points: np.ndarray) -> Dict:
+        if self.probe_first and not device_healthy(self.health_timeout_s):
+            return self._analyze_oracle(points)
+        try:
+            return self.pipeline.analyze(points)
+        except Exception as e:
+            logger.error("device pipeline failed (%s); "
+                         "falling back to CPU oracle", e)
+            return self._analyze_oracle(points)
+
+    def _analyze_oracle(self, points: np.ndarray) -> Dict:
+        from lidar_ai_recommendation_software_tpu.oracle import (
+            reference as ref)
+        from lidar_ai_recommendation_software_tpu.utils.recommendations \
+            import generate_recommendations
+
+        self.fallbacks += 1
+        variant = self.pipeline.config.preprocess.variant
+        out = ref.analyze(np.asarray(points, np.float64), variant=variant)
+        density = out["density"]
+        # normalise the oracle's monolith key to the pipeline's layout
+        if "density_grid" not in density and "density_map" in density:
+            density["density_grid"] = density["density_map"]
+        recommendations = generate_recommendations(
+            density, out["flow"], self.pipeline.config.recommend)
+        return {
+            "processed": out["processed"],
+            "people": None,
+            "coordinate_offset": np.zeros(3),
+            "density": density,
+            "flow": out["flow"],
+            "recommendations": recommendations,
+            "degraded": True,
+        }

@@ -1,0 +1,55 @@
+"""Failure detection / graceful degradation."""
+
+import numpy as np
+import pytest
+
+from lidar_ai_recommendation_software_tpu.utils import resilience
+
+
+def test_device_healthy_on_cpu():
+    assert resilience.device_healthy(timeout_s=30.0)
+
+
+def test_retry_eventually_succeeds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return 42
+
+    assert resilience.retry(flaky, attempts=4, base_delay_s=0.01) == 42
+    assert calls["n"] == 3
+
+
+def test_retry_gives_up():
+    def always():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        resilience.retry(always, attempts=2, base_delay_s=0.01)
+
+
+def test_fallback_pipeline_degrades_to_oracle(fixture_points, monkeypatch):
+    fp = resilience.FallbackPipeline()
+
+    def boom(points):
+        raise RuntimeError("device lost")
+
+    monkeypatch.setattr(fp.pipeline, "analyze", boom)
+    out = fp.analyze(fixture_points)
+    assert out["degraded"] is True
+    assert fp.fallbacks == 1
+    # oracle results carry the same golden values
+    assert out["density"]["total_people"] == 446
+    assert abs(out["density"]["max_density"] - 3.5) < 1e-9
+    assert out["flow"]["dominant_direction"] == "E"
+    assert len(out["recommendations"]["issues"]) == 10
+
+
+def test_fallback_pipeline_normal_path(fixture_points):
+    fp = resilience.FallbackPipeline()
+    out = fp.analyze(fixture_points)
+    assert "degraded" not in out
+    assert out["density"]["total_people"] == 446
