@@ -51,6 +51,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="inspect a point cloud file")
     i.add_argument("cloud")
+
+    q = sub.add_parser("analyze-seq",
+                       help="temporal analysis of a frame sequence")
+    q.add_argument("frames", nargs="+",
+                   help="point cloud files in time order (>=2)")
+    q.add_argument("--dt", type=float, default=1.0,
+                   help="seconds between frames")
+    q.add_argument("--report", help="write HTML report to this path")
     return p
 
 
@@ -169,6 +177,34 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_analyze_seq(args) -> int:
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+
+    frames = [_load(f) for f in args.frames]
+    if len(frames) < 2:
+        print("error: need at least two frames", file=sys.stderr)
+        return 2
+    pipe = Pipeline()
+    out = pipe.analyze_sequence(frames, dt=args.dt)
+    d, f = out["density"], out["flow"]
+    print(f"Tracked {len(frames)} frames (dt={args.dt}s)")
+    print(f"  people detected : {d['total_people']}")
+    print(f"  measured speed  : {f['avg_speed']:.2f} m/s "
+          f"(dominant {f['dominant_direction']})")
+    print(f"  bottlenecks     : {len(f['bottlenecks'])}")
+    if args.report:
+        from lidar_ai_recommendation_software_tpu.utils.report import (
+            generate_report)
+        html = generate_report(d, f, out["recommendations"],
+                               processed_summary={
+                                   "frames": len(frames),
+                                   "dt_s": args.dt})
+        with open(args.report, "w") as fh:
+            fh.write(html)
+        print(f"  HTML report     : {args.report}")
+    return 0
+
+
 def cmd_info(args) -> int:
     pts = _load(args.cloud)
     mins = pts.min(axis=0)
@@ -194,7 +230,8 @@ def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     try:
         return {"analyze": cmd_analyze, "sample": cmd_sample,
-                "bench": cmd_bench, "info": cmd_info}[args.command](args)
+                "bench": cmd_bench, "info": cmd_info,
+                "analyze-seq": cmd_analyze_seq}[args.command](args)
     except FileNotFoundError as e:
         print(f"error: file not found: {e.filename}", file=sys.stderr)
         return 2

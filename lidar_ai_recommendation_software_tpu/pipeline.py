@@ -55,8 +55,14 @@ def enable_compilation_cache():
         return
     try:
         import os
-        path = os.environ.get("LIDAR_TPU_COMPILE_CACHE",
-                              os.path.expanduser("~/.cache/lidar_tpu_xla"))
+        # per-backend cache dir: AOT executables are target-specific and a
+        # shared dir makes the CPU backend load TPU-helper-compiled
+        # binaries with mismatched machine features (SIGILL risk)
+        backend = jax.default_backend()
+        path = os.path.join(
+            os.environ.get("LIDAR_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/lidar_tpu_xla")),
+            backend)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
