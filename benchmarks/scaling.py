@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Weak-scaling harness (BASELINE.md config 5): spatially sharded venue
+analytics at 1..N devices. On real multi-chip hardware this measures ICI
+weak-scaling efficiency; on the virtual CPU mesh it validates the harness
+and the sharded program (wall-clock there is not meaningful — one physical
+CPU executes all virtual devices).
+
+Usage:
+  python benchmarks/scaling.py --devices 1 2 4 8 --cells-per-device 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--cells-per-device", type=int, default=128)
+    ap.add_argument("--people", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--force-cpu-devices", type=int, default=0,
+                    help="simulate N virtual CPU devices")
+    args = ap.parse_args()
+
+    import os
+    if args.force_cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+              f"{args.force_cpu_devices}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_ai_recommendation_software_tpu.config import MONOLITH_CONFIG
+    from lidar_ai_recommendation_software_tpu.parallel import spatial
+    from lidar_ai_recommendation_software_tpu.parallel.mesh import make_mesh
+    from lidar_ai_recommendation_software_tpu.utils.profiling import (
+        device_timer)
+
+    avail = len(jax.devices())
+    rng = np.random.RandomState(0)
+    rows = []
+    base_pps = None
+    for nd in args.devices:
+        if nd > avail:
+            continue
+        # weak scaling: venue grows with device count
+        gx = args.cells_per_device * nd
+        cfg = MONOLITH_CONFIG.with_capacity(grid_cells_x=gx,
+                                            grid_cells_y=256,
+                                            max_people=args.people)
+        mesh = make_mesh((("sp", nd),), jax.devices()[:nd])
+        extent = gx * 1.0
+        k = args.people
+        ppl = jnp.asarray(rng.uniform(0, extent, (k, 2)).astype(
+            np.float32))
+        pm = jnp.ones(k, bool)
+        origin = jnp.asarray([0.0, 0.0], jnp.float32)
+        nx = jnp.asarray(gx, jnp.int32)
+        ny = jnp.asarray(256, jnp.int32)
+
+        def run(p):
+            return spatial.sharded_radius_density(
+                p, pm, origin, nx, ny, cfg, mesh)
+
+        f = jax.jit(run)
+        dt = device_timer(
+            f, lambda i: (ppl + i * 1e-4,), lambda r: r[0, 0],
+            iters=args.iters)
+        cells = gx * 256
+        cps = cells / dt
+        pps = cps  # cells/s is the weak-scaling unit here
+        if base_pps is None:
+            base_pps = cps / nd
+        rows.append({"devices": nd, "cells": cells,
+                     "ms": round(dt * 1000, 2),
+                     "cells_per_sec": round(cps),
+                     "weak_scaling_efficiency":
+                         round(cps / (base_pps * nd), 3)})
+    print(json.dumps({"metric": "spatial_weak_scaling", "rows": rows,
+                      "device": str(jax.devices()[0])}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
