@@ -130,6 +130,10 @@ class CapacityConfig:
     grid_cells_y: int = 64
     # hash-grid neighbor search (generic ball query path)
     bucket_capacity: int = 32        # max points scanned per voxel bucket
+    # clustering buffer: non-ground points are compacted into a buffer of
+    # this capacity before DBSCAN (0 = same as max_points). The all-pairs
+    # path is quadratic in this, and ~30% of points are ground.
+    cluster_capacity: int = 0
     # dense 2.5D column grid (clustering hot path, ops/columns.py)
     cluster_cells_x: int = 128       # xy columns (static)
     cluster_cells_y: int = 128

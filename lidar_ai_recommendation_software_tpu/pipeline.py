@@ -115,16 +115,22 @@ class Pipeline:
         ccy = bucket32(min(int((maxs[1] - mins[1]) / eps) + 2, 768),
                        cap.cluster_cells_y)
 
+        # clustering buffer: ~70% of points are non-ground; next pow2 of
+        # 0.8n leaves headroom, the overflow auto-retry covers the rest
+        ccap = 1 << max(10, (max(1, int(0.8 * n)) - 1).bit_length())
+        ccap = min(ccap, max_points)
+
         if (max_points == cap.max_points and gx == cap.grid_cells_x
                 and gy == cap.grid_cells_y
                 and max_people == cap.max_people
                 and ccx == cap.cluster_cells_x
-                and ccy == cap.cluster_cells_y):
+                and ccy == cap.cluster_cells_y
+                and ccap == cap.cluster_capacity):
             return self.config
         return self.config.with_capacity(
             max_points=max_points, grid_cells_x=gx, grid_cells_y=gy,
             max_people=max_people, cluster_cells_x=ccx,
-            cluster_cells_y=ccy)
+            cluster_cells_y=ccy, cluster_capacity=ccap)
 
     def analyze_device(self, cloud: PointCloud,
                        config: Optional[PipelineConfig] = None):
@@ -148,13 +154,19 @@ class Pipeline:
         cfg = self.fit_capacity(points)
         cloud = PointCloud.from_numpy(points, cfg.capacity.max_points)
         processed, people, res = self.analyze_device(cloud, cfg)
-        # Exactness guard: if any clustering column overflowed its static
-        # capacity, double it (bounded) and re-run — keeps DBSCAN parity on
-        # adversarially dense scenes at the cost of one recompile.
+        # Exactness guard: if clustering overflowed a static capacity
+        # (column cap or the compacted buffer), grow and re-run — keeps
+        # DBSCAN parity on adversarial scenes at the cost of a recompile.
         while (int(processed.cluster_overflow) > 0
-               and cfg.capacity.cluster_column_cap < 512):
+               and (cfg.capacity.cluster_column_cap < 512
+                    or cfg.capacity.cluster_capacity
+                    < cfg.capacity.max_points)):
             cfg = cfg.with_capacity(
-                cluster_column_cap=cfg.capacity.cluster_column_cap * 2)
+                cluster_column_cap=min(
+                    512, cfg.capacity.cluster_column_cap * 2),
+                cluster_capacity=min(
+                    cfg.capacity.max_points,
+                    max(1, cfg.capacity.cluster_capacity) * 2))
             processed, people, res = self.analyze_device(cloud, cfg)
         density_results = res.density.to_host_dict()
         flow_results = res.flow.to_host_dict()

@@ -128,10 +128,31 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
         eps = pc.dbscan_eps
         cluster_pts = pts
 
-    labels, n_clusters, overflow = clustering.dbscan_labels(
-        cluster_pts, non_ground, eps, pc.dbscan_min_samples,
+    # Compact the non-ground points to the front of a (usually smaller)
+    # cluster buffer: the all-pairs DBSCAN path is quadratic in its static
+    # capacity, and ~30% of points are ground + padding. A stable argsort
+    # on ~non_ground keeps point order within the compacted prefix, so
+    # min-point-index cluster representatives are preserved.
+    ccap = min(cap.cluster_capacity or cloud.points.shape[0],
+               cloud.points.shape[0])
+    order = jnp.argsort(~non_ground, stable=True).astype(jnp.int32)
+    inv_order = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=jnp.int32))
+    compact_pts = cluster_pts[order[:ccap]]
+    compact_mask = non_ground[order[:ccap]]
+    n_ng_total = jnp.sum(non_ground.astype(jnp.int32))
+    compact_overflow = jnp.maximum(n_ng_total - ccap, 0)
+
+    labels_c, n_clusters, overflow = clustering.dbscan_labels(
+        compact_pts, compact_mask, eps, pc.dbscan_min_samples,
         ncx=cap.cluster_cells_x, ncy=cap.cluster_cells_y,
         column_cap=cap.cluster_column_cap, max_iters=cap.max_cc_iters)
+    overflow = overflow + compact_overflow
+
+    # scatter labels back to full point order
+    labels_full = jnp.pad(labels_c, (0, cloud.points.shape[0] - ccap),
+                          constant_values=-1)
+    labels = labels_full[inv_order]
 
     # Reference skips clustering when <= min_cluster_points non-ground
     # points and labels them all cluster 0 (data_processing.py:188-200).
