@@ -23,7 +23,7 @@ vmapped by the train step (flax lifted vmap keeps one parameter set).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -42,6 +42,7 @@ class SetAbstraction(nn.Module):
     radius: float
     k: int
     mlp: Sequence[int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points, features, mask):
@@ -53,7 +54,8 @@ class SetAbstraction(nn.Module):
         g = group_features(points, features, centroids, gidx, gvalid)
 
         for ch in self.mlp:
-            g = nn.Dense(ch, dtype=jnp.float32)(g)
+            # params stay f32; compute dtype (bf16 on TPU) feeds the MXU
+            g = nn.Dense(ch, dtype=self.dtype)(g)
             g = nn.relu(g)
         # masked max-pool over the K neighbors
         neg = jnp.asarray(-1e9, g.dtype)
@@ -68,6 +70,7 @@ class BEVHead(nn.Module):
 
     grid: int
     channels: Sequence[int] = (128, 64)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, centroids, features, cmask, venue_min, venue_size):
@@ -86,9 +89,9 @@ class BEVHead(nn.Module):
         h = jnp.concatenate([bev, occupancy], axis=-1)
 
         for ch in self.channels:
-            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=jnp.float32)(h)
+            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
             h = nn.relu(h)
-        return h
+        return h.astype(jnp.float32)
 
 
 class CrowdNet(nn.Module):
@@ -97,17 +100,20 @@ class CrowdNet(nn.Module):
     sa1_samples: int = 2048
     sa2_samples: int = 512
     grid: int = 64
+    dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points, mask, venue_min, venue_size):
-        c1, f1, m1 = SetAbstraction(self.sa1_samples, 0.4, 32,
-                                    (32, 32, 64), name="sa1")(
+        SA = nn.remat(SetAbstraction) if self.remat else SetAbstraction
+        c1, f1, m1 = SA(self.sa1_samples, 0.4, 32,
+                        (32, 32, 64), dtype=self.dtype, name="sa1")(
             points, None, mask)
-        c2, f2, m2 = SetAbstraction(self.sa2_samples, 1.0, 32,
-                                    (64, 64, 128), name="sa2")(
+        c2, f2, m2 = SA(self.sa2_samples, 1.0, 32,
+                        (64, 64, 128), dtype=self.dtype, name="sa2")(
             c1, f1, m1)
-        h = BEVHead(self.grid, name="bev")(c2, f2, m2, venue_min,
-                                           venue_size)
+        h = BEVHead(self.grid, dtype=self.dtype, name="bev")(
+            c2, f2, m2, venue_min, venue_size)
         density = nn.softplus(
             nn.Conv(1, (1, 1), name="density_head")(h))[..., 0]
         flow = nn.Conv(2, (1, 1), name="flow_head")(h)
@@ -123,6 +129,8 @@ class BatchedCrowdNet(nn.Module):
     sa1_samples: int = 2048
     sa2_samples: int = 512
     grid: int = 64
+    dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points, mask, venue_min, venue_size):
@@ -131,5 +139,6 @@ class BatchedCrowdNet(nn.Module):
             in_axes=(0, 0, 0, 0), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False},
-        )(self.sa1_samples, self.sa2_samples, self.grid)
+        )(self.sa1_samples, self.sa2_samples, self.grid, self.dtype,
+          self.remat)
         return net(points, mask, venue_min, venue_size)

@@ -42,6 +42,8 @@ class TrainConfig:
     flow_weight: float = 1.0
     congestion_weight: float = 0.25
     seed: int = 0
+    bf16: bool = False         # bf16 compute dtype (MXU fast path)
+    remat: bool = False        # rematerialise SA layers (memory/flops)
 
 
 class TrainState(train_state.TrainState):
@@ -49,8 +51,12 @@ class TrainState(train_state.TrainState):
 
 
 def make_model(cfg: TrainConfig) -> BatchedCrowdNet:
-    return BatchedCrowdNet(sa1_samples=cfg.sa1_samples,
-                           sa2_samples=cfg.sa2_samples, grid=cfg.grid)
+    import jax.numpy as jnp
+    return BatchedCrowdNet(
+        sa1_samples=cfg.sa1_samples, sa2_samples=cfg.sa2_samples,
+        grid=cfg.grid,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        remat=cfg.remat)
 
 
 def synth_example(rng: np.random.RandomState, cfg: TrainConfig):
