@@ -46,6 +46,20 @@ def main():
     cpu_s = time.time() - t0
     cpu_pps = n_cpu / cpu_s
 
+    # ---- device liveness guard (remote tunnels can wedge; emit an
+    # honest degraded record instead of hanging the driver) ----
+    from lidar_ai_recommendation_software_tpu.utils.resilience import (
+        device_healthy)
+    if not device_healthy(timeout_s=120.0):
+        print(json.dumps({
+            "metric": "full_pipeline_points_per_sec_1chip",
+            "value": 0, "unit": "points/s", "vs_baseline": 0.0,
+            "detail": {"error": "device unhealthy (liveness probe "
+                                "timed out)",
+                       "cpu_points_per_sec": round(cpu_pps)},
+        }))
+        return
+
     # ---- TPU pipeline ----
     pipe = Pipeline(MONOLITH_CONFIG)
 

@@ -103,6 +103,11 @@ class FlowConfig:
     mod_min_far: int = 3
     mod_min_severity: float = 1.0
     max_bottlenecks: int = 5
+    # temporal tracking (models/temporal.py — no reference counterpart):
+    # clusters whose centroid sits below this height over the venue floor
+    # are terrain speckle, excluded from NN tracking
+    track_min_height: float = 0.3
+    track_max_speed: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,7 +33,7 @@ def extract_people(processed: ProcessedCloud,
     """Cluster centroids -> xy positions (data_processing.py:251-280)."""
     cents, valid = clustering.cluster_centroids(
         processed.points, processed.labels, config.capacity.max_people)
-    return People(positions=cents[:, :2], mask=valid)
+    return People(positions=cents[:, :2], mask=valid, z=cents[:, 2])
 
 
 def _arange_len(start, stop, step):

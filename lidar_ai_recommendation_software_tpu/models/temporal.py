@@ -68,8 +68,8 @@ def temporal_flow(prev: People, curr: People, dt: float,
     how the reference handles empty regions."""
     fc = config.flow
     cap = config.capacity
-    dt_ = jnp.asarray(dt, curr.positions.dtype)
-    vel, ok = frame_velocities(prev, curr, dt)
+    vel, ok = frame_velocities(prev, curr, dt,
+                               max_speed=fc.track_max_speed)
 
     g = jnp.asarray(fc.grid_size, curr.positions.dtype)
     gx, gy = cap.grid_cells_x, cap.grid_cells_y

@@ -55,10 +55,13 @@ def enable_compilation_cache():
         return
     try:
         import os
-        # per-backend cache dir: AOT executables are target-specific and a
-        # shared dir makes the CPU backend load TPU-helper-compiled
-        # binaries with mismatched machine features (SIGILL risk)
+        # TPU-only: CPU AOT cache entries carry target machine features
+        # that can mismatch across processes on this host (XLA warns of
+        # SIGILL risk), and CPU compiles are cheap anyway.
         backend = jax.default_backend()
+        if backend != "tpu":
+            _CACHE_ENABLED = True
+            return
         path = os.path.join(
             os.environ.get("LIDAR_TPU_COMPILE_CACHE",
                            os.path.expanduser("~/.cache/lidar_tpu_xla")),
@@ -209,7 +212,15 @@ class Pipeline:
         out = self.analyze(frames[-1])
         prev_out = self.analyze(frames[-2])
         processed = out["processed"]
-        res = temporal_flow(prev_out["people"], out["people"],
+        # track only person-like clusters: ground-hugging pseudo-clusters
+        # (terrain speckle) re-randomise every frame and poison NN
+        # matching with spurious velocities
+        floor = processed.mins[2]
+        min_h = self.config.flow.track_min_height
+        curr_people = out["people"].person_like(min_h, floor)
+        prev_people = prev_out["people"].person_like(
+            min_h, prev_out["processed"].mins[2])
+        res = temporal_flow(prev_people, curr_people,
                             jnp.asarray(dt, jnp.float32),
                             processed.mins[:2], processed.maxs[:2],
                             self.config)

@@ -53,6 +53,48 @@ def sample_venue(n_points: int = 10000, n_people: int = 50,
     return np.column_stack((x, y, z))
 
 
+def venue_sequence(n_frames: int = 5, dt: float = 0.5,
+                   n_points: int = 10000, n_people: int = 50,
+                   extent: float = 15.0, speed: float = 1.0,
+                   person_points: int = 40, seed: int = 42) -> list:
+    """A temporal sequence of venue frames with people drifting toward the
+    right-edge exit at ``speed`` m/s (plus small per-person jitter) — the
+    input the reference never has (its flow is simulated,
+    crowd_flow_model.py:19-26).
+
+    Unlike the density fixture (which, faithfully to the reference,
+    leaves only ~3 uniform samples per person — below DBSCAN's
+    min_samples, so 'people' there are terrain speckle), each person here
+    carries ``person_points`` dedicated returns, the realistic LiDAR
+    regime, so person clusters are dense, stable across frames and
+    trackable. Terrain resamples per frame; person columns move
+    coherently."""
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-extent * 0.66, extent * 0.66, (n_people, 2))
+    jitter = rng.normal(0, 0.1 * speed, (n_people, 2))
+    n_terrain = max(0, n_points - n_people * person_points)
+    frames = []
+    for t in range(n_frames):
+        frng = np.random.RandomState(seed + 1000 + t)
+        x = frng.uniform(-extent, extent, n_terrain)
+        y = frng.uniform(-extent, extent, n_terrain)
+        z = 0.1 * np.sin(x * 0.5) * np.cos(y * 0.5)
+        # direction toward exit at (extent, 0)
+        d = np.stack([extent - centers[:, 0], -centers[:, 1]], 1)
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        vel = d * speed + jitter
+        pos = centers + vel * dt * t
+        px = (pos[:, 0:1]
+              + frng.normal(0, 0.1, (n_people, person_points))).ravel()
+        py = (pos[:, 1:2]
+              + frng.normal(0, 0.1, (n_people, person_points))).ravel()
+        pz = frng.uniform(0.1, 1.8, n_people * person_points)
+        frames.append(np.column_stack((
+            np.concatenate([x, px]), np.concatenate([y, py]),
+            np.concatenate([z, pz]))))
+    return frames
+
+
 def scaled_venue(n_points: int, seed: int = 42,
                  people_per_100m2: float = 0.56) -> np.ndarray:
     """A benchmark venue scaled so crowd statistics stay realistic.

@@ -100,14 +100,26 @@ class ProcessedCloud:
 @struct.dataclass
 class People:
     """Per-cluster centroids — analogue of extract_people_positions
-    (utils/data_processing.py:251-280), padded to capacity K."""
+    (utils/data_processing.py:251-280), padded to capacity K.
+
+    ``z`` keeps the centroid height: density/flow only use xy (reference
+    semantics) but temporal tracking filters person-like clusters by
+    height to reject ground-hugging pseudo-clusters."""
 
     positions: Array   # (K, 2) xy centroids
     mask: Array        # (K,)   valid people
+    z: Array           # (K,)   centroid heights
 
     @property
     def count(self) -> Array:
         return jnp.sum(self.mask.astype(jnp.int32))
+
+    def person_like(self, min_height: float,
+                    ground_z: Array) -> "People":
+        """Subset whose centroid sits at least ``min_height`` above the
+        venue floor."""
+        keep = self.mask & (self.z - ground_z > min_height)
+        return People(positions=self.positions, mask=keep, z=self.z)
 
 
 @struct.dataclass

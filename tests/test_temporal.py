@@ -8,12 +8,14 @@ from lidar_ai_recommendation_software_tpu.models import temporal
 from lidar_ai_recommendation_software_tpu.types import People
 
 
-def _people(xy, cap=64):
+def _people(xy, cap=64, z=1.0):
     buf = np.zeros((cap, 2), np.float32)
     buf[:len(xy)] = xy
     m = np.zeros(cap, bool)
     m[:len(xy)] = True
-    return People(positions=jnp.asarray(buf), mask=jnp.asarray(m))
+    zz = np.full(cap, z, np.float32)
+    return People(positions=jnp.asarray(buf), mask=jnp.asarray(m),
+                  z=jnp.asarray(zz))
 
 
 def test_matching_recovers_known_motion():
