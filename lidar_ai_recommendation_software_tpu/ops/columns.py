@@ -73,11 +73,16 @@ def build_column_grid(points: jnp.ndarray, mask: jnp.ndarray,
     px, py = ncx + 2, ncy + 2
     cid = jnp.where(mask, (cx + 1) * py + (cy + 1), px * py)
 
-    # slot = rank within column, via one sort over cell ids
+    # slot = rank within column, via one sort over cell ids. Rank within
+    # each equal-cid run = i - (cummax of run-start indices): one scan,
+    # cheaper than the log(n) binary-search gathers of searchsorted.
     order = jnp.argsort(cid).astype(jnp.int32)
     sorted_cid = cid[order]
-    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    slot_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    i32 = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
+    first = jax.lax.cummax(jnp.where(is_start, i32, 0))
+    slot_sorted = i32 - first
     slots = jnp.zeros(n, jnp.int32).at[order].set(slot_sorted)
 
     spill = px * py * cap

@@ -112,10 +112,14 @@ class Pipeline:
         # Cluster column grid: aim for eps-sized columns, bounded so the
         # dense table stays HBM-friendly; cells auto-grow past the bound
         # (ops/columns.py) and the overflow diagnostic guards exactness.
+        # Pair-test work is ncells * 9 * column_cap^2, so prefer FINE cells
+        # with a SMALL per-column cap sized to expected occupancy (the
+        # pipeline's overflow auto-retry doubles the cap on adversarial
+        # scenes, trading a recompile for exactness).
         eps = self.config.preprocess.dbscan_eps
-        ccx = bucket32(min(int((maxs[0] - mins[0]) / eps) + 2, 768),
+        ccx = bucket32(min(int((maxs[0] - mins[0]) / eps) + 2, 1280),
                        cap.cluster_cells_x)
-        ccy = bucket32(min(int((maxs[1] - mins[1]) / eps) + 2, 768),
+        ccy = bucket32(min(int((maxs[1] - mins[1]) / eps) + 2, 1280),
                        cap.cluster_cells_y)
 
         # clustering buffer: ~70% of points are non-ground; next pow2 of
@@ -123,17 +127,32 @@ class Pipeline:
         ccap = 1 << max(10, (max(1, int(0.8 * n)) - 1).bit_length())
         ccap = min(ccap, max_points)
 
+        # occupancy-adaptive cap: ~8x the mean non-ground points per
+        # column plus one sublane tile of headroom absorbs clumping
+        # (measured max column occupancy is ~13x the mean at venue
+        # densities); floor 16 keeps the overflow retry-recompile rare
+        occ = 0.8 * n / float(ccx * ccy)
+        def ceil8(v):
+            return ((int(v) + 7) // 8) * 8
+        ccol = min(64, max(16, ceil8(8.0 * occ + 8.0)))
+        # only shrink below the configured default when the venue is big
+        # enough for the column path (small sets use brute-force anyway)
+        if ccap <= 32768:
+            ccol = max(ccol, cap.cluster_column_cap)
+
         if (max_points == cap.max_points and gx == cap.grid_cells_x
                 and gy == cap.grid_cells_y
                 and max_people == cap.max_people
                 and ccx == cap.cluster_cells_x
                 and ccy == cap.cluster_cells_y
-                and ccap == cap.cluster_capacity):
+                and ccap == cap.cluster_capacity
+                and ccol == cap.cluster_column_cap):
             return self.config
         return self.config.with_capacity(
             max_points=max_points, grid_cells_x=gx, grid_cells_y=gy,
             max_people=max_people, cluster_cells_x=ccx,
-            cluster_cells_y=ccy, cluster_capacity=ccap)
+            cluster_cells_y=ccy, cluster_capacity=ccap,
+            cluster_column_cap=ccol)
 
     def analyze_device(self, cloud: PointCloud,
                        config: Optional[PipelineConfig] = None):

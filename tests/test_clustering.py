@@ -96,3 +96,36 @@ def test_cluster_centroids_segment_mean():
     assert valid.tolist() == [True, True, False, False]
     np.testing.assert_allclose(cents[0], [1, 0, 0])
     np.testing.assert_allclose(cents[1], [0, 4, 0])
+
+
+def test_dbscan_gs_matches_columns_and_sklearn():
+    """The Pallas Gauss-Seidel CCL (interpret mode on CPU) reaches the
+    same fixpoint as the jnp column path and sklearn's census — min-
+    propagation has a unique fixpoint, so update order cannot matter."""
+    from lidar_ai_recommendation_software_tpu.ops import ccl
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-10, 10, (40, 2))
+    n = 1500
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, :2] = centers[rng.randint(0, 40, n)] + rng.normal(0, 0.1, (n, 2))
+    pts[:, 2] = rng.uniform(0, 1.8, n)
+    cap = 2048
+    buf = np.zeros((cap, 3), np.float32)
+    buf[:n] = pts
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+
+    lab_ref, k_ref, _ = clustering.dbscan_columns(
+        jnp.asarray(buf), jnp.asarray(mask), 0.35, 5,
+        ncx=64, ncy=64, column_cap=64)
+    lab_gs, k_gs, ovf = ccl.dbscan_gs(
+        jnp.asarray(buf), jnp.asarray(mask), 0.35, 5,
+        ncx=64, ncy=64, column_cap=64)
+    assert int(ovf) == 0
+    assert int(k_gs) == int(k_ref)
+    assert (np.asarray(lab_gs) == np.asarray(lab_ref)).all()
+
+    sk = DBSCAN(eps=0.35, min_samples=5).fit(pts).labels_
+    assert int(k_gs) == sk.max() + 1
+    assert _census(np.asarray(lab_gs)[:n], pts) == _census(sk, pts)
