@@ -43,28 +43,34 @@ def _round_up(x: int, m: int) -> int:
 # radius_count
 # ---------------------------------------------------------------------------
 
-def _radius_count_kernel(r2_ref, centers_ref, people_ref, pmask_ref,
-                         out_ref):
+def _radius_count_kernel(kt: int, r2_ref, nv_ref, centers_ref, people_ref,
+                         pmask_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    c = centers_ref[:]                     # (TC, 2)
-    p = people_ref[:]                      # (2, TK) — transposed layout so
-    pm = pmask_ref[:]                      # (1, TK)   every op is a 2D
-    r2 = r2_ref[0]                         #           static slice (Mosaic
+    # people capacity is a static power-of-two bucket but the VALID people
+    # occupy a dense prefix (cluster ids are compacted); skip tiles that
+    # are entirely past the live count — at venue densities that's ~2/3
+    # of the people axis
+    @pl.when(j * kt < nv_ref[0])
+    def _():
+        c = centers_ref[:]                 # (TC, 2)
+        p = people_ref[:]                  # (2, TK) — transposed layout so
+        pm = pmask_ref[:]                  # (1, TK)   every op is a 2D
+        r2 = r2_ref[0]                     #           static slice (Mosaic
                                            #           has no gather)
-    # direct difference form (not |c|^2+|p|^2-2c.p): the coordinates are
-    # venue-scale (~1e1-1e3) while r^2 is ~4, so the cancellation in the
-    # dot-product form costs ~1e-5 relative error — enough to flip
-    # borderline counts and break bit-parity with the CPU oracle
-    dx = c[:, 0:1] - p[0:1, :]              # (TC, TK)
-    dy = c[:, 1:2] - p[1:2, :]
-    d2 = dx * dx + dy * dy
-    hit = (d2 <= r2) & (pm > 0)
-    out_ref[:] += jnp.sum(hit.astype(jnp.int32), axis=1)
+        # direct difference form (not |c|^2+|p|^2-2c.p): the coordinates
+        # are venue-scale (~1e1-1e3) while r^2 is ~4, so the cancellation
+        # in the dot-product form costs ~1e-5 relative error — enough to
+        # flip borderline counts and break bit-parity with the CPU oracle
+        dx = c[:, 0:1] - p[0:1, :]          # (TC, TK)
+        dy = c[:, 1:2] - p[1:2, :]
+        d2 = dx * dx + dy * dy
+        hit = (d2 <= r2) & (pm > 0)
+        out_ref[:] += jnp.sum(hit.astype(jnp.int32), axis=1)
 
 
 def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
@@ -88,12 +94,18 @@ def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
     pmask_f = jnp.pad(pmask.astype(jnp.float32),
                       (0, kp - k)).reshape(1, kp)            # (1, KP)
     r2 = jnp.asarray([radius * radius], jnp.float32)
+    # live extent = last valid index + 1 (valid ids are normally a dense
+    # prefix — cluster ids are cumsum-compacted — but this stays correct
+    # for any mask); tiles past it are skipped in-kernel
+    nv = jnp.max(jnp.where(
+        pmask, jnp.arange(1, k + 1, dtype=jnp.int32), 0)).reshape(1)
 
     out = pl.pallas_call(
-        _radius_count_kernel,
+        functools.partial(_radius_count_kernel, kt),
         out_shape=jax.ShapeDtypeStruct((cp,), jnp.int32),
         grid=(cp // tile, kp // kt),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, 2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -105,7 +117,7 @@ def radius_count(centers: jnp.ndarray, people: jnp.ndarray,
         out_specs=pl.BlockSpec((tile,), lambda i, j: (i,),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(r2, centers_p.astype(jnp.float32), people_t.astype(jnp.float32),
+    )(r2, nv, centers_p.astype(jnp.float32), people_t.astype(jnp.float32),
       pmask_f)
     return out[:c]
 

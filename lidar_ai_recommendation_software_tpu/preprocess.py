@@ -135,13 +135,22 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
     # min-point-index cluster representatives are preserved.
     ccap = min(cap.cluster_capacity or cloud.points.shape[0],
                cloud.points.shape[0])
-    order = jnp.argsort(~non_ground, stable=True).astype(jnp.int32)
-    inv_order = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=jnp.int32))
-    compact_pts = cluster_pts[order[:ccap]]
-    compact_mask = non_ground[order[:ccap]]
-    n_ng_total = jnp.sum(non_ground.astype(jnp.int32))
-    compact_overflow = jnp.maximum(n_ng_total - ccap, 0)
+    if ccap < cloud.points.shape[0]:
+        order = jnp.argsort(~non_ground, stable=True).astype(jnp.int32)
+        inv_order = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=jnp.int32))
+        compact_pts = cluster_pts[order[:ccap]]
+        compact_mask = non_ground[order[:ccap]]
+        n_ng_total = jnp.sum(non_ground.astype(jnp.int32))
+        compact_overflow = jnp.maximum(n_ng_total - ccap, 0)
+    else:
+        # full-capacity buffer: the column/CCL path masks ground points
+        # itself, so the compaction reorder (an n-element argsort plus
+        # two gathers, ~15% of preprocess at 1M) is pure overhead
+        inv_order = None
+        compact_pts = cluster_pts
+        compact_mask = non_ground
+        compact_overflow = jnp.asarray(0, jnp.int32)
 
     labels_c, n_clusters, overflow = clustering.dbscan_labels(
         compact_pts, compact_mask, eps, pc.dbscan_min_samples,
@@ -149,10 +158,13 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
         column_cap=cap.cluster_column_cap, max_iters=cap.max_cc_iters)
     overflow = overflow + compact_overflow
 
-    # scatter labels back to full point order
-    labels_full = jnp.pad(labels_c, (0, cloud.points.shape[0] - ccap),
-                          constant_values=-1)
-    labels = labels_full[inv_order]
+    # back to full point order
+    if inv_order is None:
+        labels = labels_c
+    else:
+        labels_full = jnp.pad(labels_c, (0, cloud.points.shape[0] - ccap),
+                              constant_values=-1)
+        labels = labels_full[inv_order]
 
     # Reference skips clustering when <= min_cluster_points non-ground
     # points and labels them all cluster 0 (data_processing.py:188-200).
