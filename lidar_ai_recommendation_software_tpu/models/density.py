@@ -69,13 +69,13 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
 
     import os
     if (jax.default_backend() == "tpu"
-            and os.environ.get("LIDAR_TPU_PALLAS", "0") == "1"):
+            and os.environ.get("LIDAR_TPU_PALLAS", "1") == "1"):
         # Pallas kernel path (ops/pallas/kernels.py): tiled distance +
-        # fused compare/count with the people tensor VMEM-resident.
-        # Opt-in via LIDAR_TPU_PALLAS=1 while the tunnel environment
-        # penalises failed Mosaic compiles (a compile error can wedge the
-        # remote executor); the fused jnp path below is already
-        # HBM-bandwidth-bound on this op.
+        # fused compare/count with the people tensor VMEM-resident, and
+        # people-tiles past the live prefix skipped in-kernel. Default ON
+        # (the Mosaic toolchain is exercised heavily by ops/ccl.py on
+        # this same tunnel); LIDAR_TPU_PALLAS=0 opts out to the fused
+        # jnp path.
         from lidar_ai_recommendation_software_tpu.ops.pallas import (
             kernels as pk)
         counts = pk.radius_count(centers, ppl, pmask, radius)
