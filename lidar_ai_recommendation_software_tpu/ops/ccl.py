@@ -19,10 +19,14 @@ pass that changes nothing certifies global convergence.
 Data layout (SoA, y-on-lanes): coordinate planes ``(PX, CAP, PYP)``
 float32 where PX = ncx+2 (one border row each side), CAP = column slot
 capacity (multiple of 8 — sublanes), PYP = ncy+2 rounded up to 128
-(lanes). Empty slots and padding hold coordinate 1e18, so the distance
-test kills them with no mask input. Labels are int32 point indices with
-INT_MAX for non-core/empty — non-core neighbors never win a min, so no
-core mask is needed in the kernel either.
+(lanes). Empty slots carry the 0xFFFFFFFF pattern (NaN as float, -1 as
+int) and padding holds 1e18 — either way the distance test rejects them
+with no mask input (NaN/huge <= r2 is false). Labels are int32 point
+indices with INT_MAX for non-core/empty — non-core neighbors never win
+a min, so no core mask is needed in the kernel either. The table itself
+is built by ops/pallas/permute.sorted_fill (sequential merge write) and
+the point<->table maps by its serial VMEM permute kernels — XLA's TPU
+scatter/gather run at only ~20M elem/s.
 
 Kernels:
   - ``column_counts_planes``: Jacobi eps-neighbor counts (core test).
@@ -96,31 +100,61 @@ def build_planes(points: jnp.ndarray, mask: jnp.ndarray, min_cell: float,
     ncells = px * pyp
     cid = jnp.where(mask, (cx + 1) * pyp + (cy + 1), ncells)
 
-    # slot = rank within column via one sort (see build_column_grid)
+    # slot = rank within column via one sort (see build_column_grid);
+    # the rank returns to point order through ANOTHER sort
+    # (permutation_scatter, ~12 ms at 1M) rather than an XLA scatter
+    # (~50 ms — TPU scatter runs ~20M elem/s, sort ~85M keys/s).
+    from lidar_ai_recommendation_software_tpu.ops.pallas import permute
+
     order = jnp.argsort(cid).astype(jnp.int32)
     sorted_cid = cid[order]
     i32 = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([
         jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
     first = jax.lax.cummax(jnp.where(is_start, i32, 0))
-    slots = jnp.zeros(n, jnp.int32).at[order].set(i32 - first)
+    slots = permute.permutation_scatter(order, i32 - first)
 
     spill = px * cap * pyp
     # flat layout (PX, CAP, PYP): row-major x, then slot, then y-lane
-    cxp = cx + 1
-    cyp = cy + 1
-    flat = jnp.where(mask & (slots < cap),
-                     (cxp * cap + slots) * pyp + cyp, spill)
+    # (cx+1 = cid//pyp, cy+1 = cid%pyp)
+    flat = jnp.where(
+        mask & (slots < cap),
+        ((cid // pyp) * cap + slots) * pyp + cid % pyp, spill)
     overflow = jnp.sum((mask & (slots >= cap)).astype(jnp.int32))
 
-    coords = jnp.full((spill + 1, d), EMPTY_COORD, dt).at[flat].set(points)
-    pt = jnp.full((spill + 1,), -1, jnp.int32).at[flat].set(i32)
-    shape = (px, cap, pyp)
+    # One fused width-4 scatter builds the whole table: x, y, z, and the
+    # point index as a float VALUE in the 4th lane (f32 is exact for
+    # ints < 2^24 — NOT a bitcast: small-int bit patterns are denormals
+    # and the TPU flushes denormals to zero, which silently zeroed every
+    # index). Empty rows keep the 0xFFFFFFFF fill: NaN in the coord
+    # lanes (distance tests reject) and NaN in the index lane (mapped to
+    # -1 below).
+    if n <= (1 << 24):
+        payload = jnp.concatenate(
+            [points.astype(jnp.float32),
+             i32.astype(jnp.float32)[:, None]], axis=1)
+        tab0 = jax.lax.bitcast_convert_type(
+            jnp.full((spill + 1, d + 1), -1, jnp.int32), jnp.float32)
+        table = tab0.at[flat].set(payload)[:spill].reshape(
+            px, cap, pyp, d + 1)
+        lane = table[..., 3]
+        ptidx = jnp.where(jnp.isnan(lane), -1,
+                          lane.astype(jnp.int32))
+        xs, ys, zs = table[..., 0], table[..., 1], table[..., 2]
+    else:
+        # beyond f32-exact integer range: separate int scatter
+        coords = jax.lax.bitcast_convert_type(
+            jnp.full((spill + 1, d), -1, jnp.int32),
+            jnp.float32).at[flat].set(points.astype(jnp.float32))
+        pti = jnp.full((spill + 1,), -1, jnp.int32).at[flat].set(i32)
+        shape = (px, cap, pyp)
+        xs = coords[:spill, 0].reshape(shape)
+        ys = coords[:spill, 1].reshape(shape)
+        zs = coords[:spill, 2].reshape(shape)
+        ptidx = pti[:spill].reshape(shape)
+
     return ColumnPlanes(
-        xs=coords[:spill, 0].reshape(shape),
-        ys=coords[:spill, 1].reshape(shape),
-        zs=coords[:spill, 2].reshape(shape),
-        ptidx=pt[:spill].reshape(shape),
+        xs=xs, ys=ys, zs=zs, ptidx=ptidx,
         point_pos=flat, cell=cell, origin=pmin, overflow=overflow)
 
 
@@ -408,7 +442,10 @@ def dbscan_gs(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
         lab_t = _transpose_planes(labels, ncx, ncy)
         lab_t, ch_y = gs_passes((xs_t, ys_t, zs_t), lab_t, eps, npass=2)
         labels = _untranspose_labels(lab_t, px, pyp)
-        changed = ch_x[-1, 0] + ch_y[-1, 0]
+        # a complete pass that changes nothing certifies the global
+        # fixpoint — only the FINAL pass of the group matters, so a
+        # venue that converges within one group exits immediately
+        changed = ch_y[-1, 0]
         return labels, changed, it + 1
 
     labels, _, _ = jax.lax.while_loop(
@@ -429,10 +466,13 @@ def dbscan_gs(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     labels_pt = jnp.where(labels_pt == INT_MAX, -1, labels_pt)
     labels_pt = jnp.where(mask, labels_pt, -1)
 
+    from lidar_ai_recommendation_software_tpu.ops.pallas import permute
+
     idx = jnp.arange(n, dtype=jnp.int32)
     is_rep = (labels_pt == idx) & (labels_pt >= 0)
     dense_minus1 = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
     safe = jnp.clip(labels_pt, 0, n - 1)
-    dense = jnp.where(labels_pt >= 0, dense_minus1[safe], -1)
+    dense = jnp.where(labels_pt >= 0,
+                      permute.vmem_gather(dense_minus1, safe), -1)
     return (dense.astype(jnp.int32), jnp.sum(is_rep.astype(jnp.int32)),
             planes.overflow)
