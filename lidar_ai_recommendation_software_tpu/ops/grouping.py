@@ -28,19 +28,22 @@ def ball_group(queries: jnp.ndarray, qmask: jnp.ndarray,
     n = points.shape[0]
     r2 = jnp.asarray(radius, points.dtype) ** 2
 
+    int_min = jnp.iinfo(jnp.int32).min
+
     def chunk_fn(args):
         q, qm = args
         d2 = jnp.sum((q[:, None, :] - points[None, :, :]) ** 2, axis=-1)
         hit = (d2 <= r2) & pmask[None, :] & qm[:, None]
-        rank = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1
-        take = hit & (rank < k)
-        dest = jnp.where(take, rank, k)
-        rows = jnp.arange(q.shape[0])[:, None]
-        cols = jnp.broadcast_to(jnp.arange(n)[None, :], hit.shape)
-        idx = jnp.zeros((q.shape[0], k + 1), jnp.int32
-                        ).at[rows, dest].set(cols.astype(jnp.int32))[:, :k]
-        val = jnp.zeros((q.shape[0], k + 1), bool
-                        ).at[rows, dest].set(hit)[:, :k]
+        # first-K-in-scan-order via top_k on a negated-index score — a
+        # (chunk, N) 2D scatter here costs ~100 ns/element on TPU (it
+        # was 5 s for 4096x100k queries); top_k is ~1000x cheaper and
+        # selects exactly the K smallest hit columns
+        cols = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], hit.shape)
+        score = jnp.where(hit, -cols, int_min)
+        vals, idx = jax.lax.top_k(score, k)
+        val = vals != int_min
+        idx = jnp.where(val, -vals, 0).astype(jnp.int32)
         # pad empty slots with the first neighbor
         first = idx[:, :1]
         idx = jnp.where(val, idx, first)

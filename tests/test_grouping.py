@@ -1,0 +1,42 @@
+"""Ball-query grouping: first-K-in-scan-order parity with a NumPy oracle
+(the classic CUDA ball-query semantics PointNet++ assumes)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_ai_recommendation_software_tpu.ops.grouping import (
+    ball_group, group_features)
+
+
+def test_ball_group_first_k_scan_order():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-5, 5, (3000, 3)).astype(np.float32)
+    q = pts[:128]
+    k, r = 16, 0.8
+    idx, val = ball_group(jnp.asarray(q), jnp.ones(128, bool),
+                          jnp.asarray(pts), jnp.ones(3000, bool), r, k)
+    idx, val = np.asarray(idx), np.asarray(val)
+    d2 = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    for i in range(128):
+        hits = np.nonzero(d2[i] <= r * r)[0][:k]
+        assert val[i].sum() == len(hits)
+        assert (idx[i][val[i]] == hits).all()
+        # padding repeats the first neighbor
+        if 0 < len(hits) < k:
+            assert (idx[i][~val[i]] == hits[0]).all()
+
+
+def test_ball_group_masks_and_empty():
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    pmask = np.arange(500) < 400
+    q = np.array([[0.0, 0.0, 0.0], [100.0, 100.0, 100.0]], np.float32)
+    idx, val = ball_group(jnp.asarray(q), jnp.ones(2, bool),
+                          jnp.asarray(pts), jnp.asarray(pmask), 1.0, 8)
+    idx, val = np.asarray(idx), np.asarray(val)
+    assert (idx[0][val[0]] < 400).all()          # masked points excluded
+    assert not val[1].any()                      # empty neighborhood
+
+    g = group_features(jnp.asarray(pts), None, jnp.asarray(q),
+                       jnp.asarray(idx), jnp.asarray(val))
+    assert np.asarray(g)[1].sum() == 0.0         # invalid slots zeroed
