@@ -32,6 +32,9 @@ def main():
                             n_points=args.points, n_people=n_people,
                             extent=extent, speed=1.0)
     pipe = Pipeline()
+    # warmup run absorbs jit compiles (capacity-dependent, ~40 s first
+    # time); report steady-state
+    pipe.analyze_sequence(frames, dt=args.dt)
     t0 = time.time()
     out = pipe.analyze_sequence(frames, dt=args.dt)
     wall = time.time() - t0
