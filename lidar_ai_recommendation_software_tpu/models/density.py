@@ -31,9 +31,10 @@ from lidar_ai_recommendation_software_tpu.ops import clustering
 def extract_people(processed: ProcessedCloud,
                    config: PipelineConfig) -> People:
     """Cluster centroids -> xy positions (data_processing.py:251-280)."""
-    cents, valid = clustering.cluster_centroids(
+    cents, valid, overflow = clustering.cluster_centroids(
         processed.points, processed.labels, config.capacity.max_people)
-    return People(positions=cents[:, :2], mask=valid, z=cents[:, 2])
+    return People(positions=cents[:, :2], mask=valid, z=cents[:, 2],
+                  overflow=overflow)
 
 
 def _arange_len(start, stop, step):

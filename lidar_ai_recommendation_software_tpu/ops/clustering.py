@@ -276,15 +276,23 @@ def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
 
 
 def cluster_centroids(points: jnp.ndarray, labels: jnp.ndarray,
-                      max_clusters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      max_clusters: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-cluster centroids (segment mean). Returns
-    (centroids (K, D), valid (K,)). Mirrors extract_people_positions
-    (utils/data_processing.py:251-280), which takes the full-dim centroid;
-    callers slice the dims they need."""
+    (centroids (K, D), valid (K,), overflow () int32 — the number of
+    clusters whose dense id >= ``max_clusters`` and were therefore dropped
+    from the segment sums; 0 means the census is exact). Mirrors
+    extract_people_positions (utils/data_processing.py:251-280, which
+    never drops a cluster); callers slice the dims they need and must
+    surface/retry on nonzero overflow (Pipeline.analyze does)."""
     k = max_clusters
     seg = jnp.where(labels >= 0, labels, k)  # overflow/noise bucket at k
     sums = jax.ops.segment_sum(points, seg, num_segments=k + 1)[:k]
     cnts = jax.ops.segment_sum(jnp.ones(points.shape[0], points.dtype),
                                seg, num_segments=k + 1)[:k]
     valid = cnts > 0
-    return sums / jnp.maximum(cnts, 1.0)[:, None], valid
+    # labels are dense 0..n_clusters-1, so clusters dropped by the
+    # capacity clamp = max_label + 1 - k when the max spills past k.
+    overflow = jnp.maximum(jnp.max(labels, initial=-1) + 1 - k, 0
+                           ).astype(jnp.int32)
+    return sums / jnp.maximum(cnts, 1.0)[:, None], valid, overflow

@@ -190,6 +190,18 @@ class Pipeline:
                     cfg.capacity.max_points,
                     max(1, cfg.capacity.cluster_capacity) * 2))
             processed, people, res = self.analyze_device(cloud, cfg)
+        # People-capacity guard: cluster ids past max_people are dropped
+        # from the segment sums (people.overflow counts them) — a dense
+        # venue that beats fit_capacity's n/8 heuristic would otherwise
+        # silently undercount total_people. Grow to the next power of two
+        # covering every cluster and re-run (one recompile, exact result;
+        # the reference never drops a cluster,
+        # utils/data_processing.py:251-280).
+        while int(people.overflow) > 0:
+            need = cfg.capacity.max_people + int(people.overflow)
+            cfg = cfg.with_capacity(
+                max_people=1 << max(1, (need - 1).bit_length()))
+            processed, people, res = self.analyze_device(cloud, cfg)
         density_results = res.density.to_host_dict()
         flow_results = res.flow.to_host_dict()
         if offset.any():

@@ -144,7 +144,8 @@ def scaled_venue(n_points: int, seed: int = 42,
         try:
             os.makedirs(cache_dir, exist_ok=True)
             tmp = path + f".tmp{os.getpid()}"
-            np.save(tmp, pts)
+            with open(tmp, "wb") as f:  # np.save(path) would append .npy
+                np.save(f, pts)
             os.replace(tmp, path)
         except Exception:
             pass

@@ -104,11 +104,17 @@ class People:
 
     ``z`` keeps the centroid height: density/flow only use xy (reference
     semantics) but temporal tracking filters person-like clusters by
-    height to reject ground-hugging pseudo-clusters."""
+    height to reject ground-hugging pseudo-clusters.
+
+    ``overflow`` counts clusters dropped because their dense id exceeded
+    the static capacity K — nonzero means ``count`` undercounts and the
+    pipeline must regrow ``max_people`` and re-run (the reference's
+    extract_people_positions never drops a cluster)."""
 
     positions: Array   # (K, 2) xy centroids
     mask: Array        # (K,)   valid people
     z: Array           # (K,)   centroid heights
+    overflow: Array = struct.field(default=0)  # () int32 clusters dropped
 
     @property
     def count(self) -> Array:
@@ -119,7 +125,8 @@ class People:
         """Subset whose centroid sits at least ``min_height`` above the
         venue floor."""
         keep = self.mask & (self.z - ground_z > min_height)
-        return People(positions=self.positions, mask=keep, z=self.z)
+        return People(positions=self.positions, mask=keep, z=self.z,
+                      overflow=self.overflow)
 
 
 @struct.dataclass

@@ -91,11 +91,21 @@ def test_cluster_centroids_segment_mean():
     pts = jnp.asarray(np.array([[0, 0, 0], [2, 0, 0], [0, 4, 0], [9, 9, 9]],
                                np.float32))
     labels = jnp.asarray(np.array([0, 0, 1, -1], np.int32))
-    cents, valid = clustering.cluster_centroids(pts, labels, 4)
+    cents, valid, overflow = clustering.cluster_centroids(pts, labels, 4)
     cents, valid = np.asarray(cents), np.asarray(valid)
     assert valid.tolist() == [True, True, False, False]
+    assert int(overflow) == 0
     np.testing.assert_allclose(cents[0], [1, 0, 0])
     np.testing.assert_allclose(cents[1], [0, 4, 0])
+
+
+def test_cluster_centroids_overflow_count():
+    """Cluster ids >= capacity are counted, not silently dropped."""
+    pts = jnp.asarray(np.arange(18, dtype=np.float32).reshape(6, 3))
+    labels = jnp.asarray(np.array([0, 1, 2, 3, 4, 5], np.int32))
+    cents, valid, overflow = clustering.cluster_centroids(pts, labels, 4)
+    assert int(overflow) == 2  # ids 4 and 5 spill past capacity 4
+    assert np.asarray(valid).sum() == 4
 
 
 def test_dbscan_gs_matches_columns_and_sklearn():

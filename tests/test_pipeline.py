@@ -129,3 +129,47 @@ class TestEdgeCases:
             np.float32)
         out = Pipeline(MONOLITH_CONFIG).analyze(pts)
         assert "density" in out and "flow" in out
+
+
+class TestPeopleCapacityOverflow:
+    """A venue with more clusters than the people capacity must not
+    silently undercount (reference never drops a cluster,
+    utils/data_processing.py:251-280)."""
+
+    @staticmethod
+    def _dense_venue():
+        # 256 points: 77 ground (z=0, lowest-30% split) + 179 person
+        # points in 35 tight blobs (5+ pts each, eps=0.3, min_samples=5).
+        # fit_capacity gives max_people = pow2(256 // 8) = 32 < 35.
+        rng = np.random.RandomState(7)
+        ground = np.column_stack([
+            rng.uniform(-10, 10, 77), rng.uniform(-10, 10, 77),
+            np.zeros(77)])
+        blobs = []
+        centers = [(-10 + 3.0 * (i % 7), -10 + 3.0 * (i // 7))
+                   for i in range(35)]
+        for k, (cx, cy) in enumerate(centers):
+            m = 9 if k == 0 else 5  # 34*5 + 9 = 179
+            blobs.append(np.column_stack([
+                cx + rng.uniform(-0.05, 0.05, m),
+                cy + rng.uniform(-0.05, 0.05, m),
+                np.full(m, 1.5)]))
+        return np.concatenate([ground] + blobs).astype(np.float32)
+
+    def test_device_path_flags_overflow(self):
+        from lidar_ai_recommendation_software_tpu.types import PointCloud
+        pts = self._dense_venue()
+        pipe = Pipeline(MONOLITH_CONFIG.with_capacity(max_people=4))
+        cfg = pipe.fit_capacity(pts)
+        assert cfg.capacity.max_people == 32
+        cloud = PointCloud.from_numpy(pts, cfg.capacity.max_points)
+        _, people, _ = pipe.analyze_device(cloud, cfg)
+        assert int(people.overflow) == 3  # 35 clusters, capacity 32
+        assert int(people.count) == 32    # the undercount the guard fixes
+
+    def test_analyze_retries_to_exact_count(self):
+        pts = self._dense_venue()
+        pipe = Pipeline(MONOLITH_CONFIG.with_capacity(max_people=4))
+        out = pipe.analyze(pts)
+        assert out["density"]["total_people"] == 35
+        assert int(out["people"].overflow) == 0
