@@ -127,17 +127,29 @@ class Pipeline:
         ccap = 1 << max(10, (max(1, int(0.8 * n)) - 1).bit_length())
         ccap = min(ccap, max_points)
 
-        # occupancy-adaptive cap: ~8x the mean non-ground points per
-        # column plus one sublane tile of headroom absorbs clumping
-        # (measured max column occupancy is ~13x the mean at venue
-        # densities); floor 16 keeps the overflow retry-recompile rare
-        occ = 0.8 * n / float(ccx * ccy)
         def ceil8(v):
             return ((int(v) + 7) // 8) * 8
-        ccol = min(64, max(16, ceil8(8.0 * occ + 8.0)))
-        # only shrink below the configured default when the venue is big
-        # enough for the column path (small sets use brute-force anyway)
-        if ccap <= 32768:
+
+        # Occupancy-MEASURED column cap: pair-test work per CCL sweep is
+        # ncells * 9 * cap^2, so cap is the single biggest lever (a 2x
+        # over-allocation costs 4x). One host-side bincount of the cells
+        # the device grid will use gives the exact max occupancy; +3
+        # headroom absorbs the slightly different extent of the
+        # non-ground subset the device actually clusters (a subset can
+        # only lower occupancy for identical binning; the margin covers
+        # binning shifts, and the overflow auto-retry guards exactness).
+        if n > 32768:  # column path only (small sets are brute-forced)
+            cell = max(eps, (maxs[:2] - mins[:2]).max() / (min(ccx, ccy)
+                                                           - 1e-3))
+            cxi = np.clip(((points[:, 0] - mins[0]) / cell).astype(
+                np.int64), 0, ccx - 1)
+            cyi = np.clip(((points[:, 1] - mins[1]) / cell).astype(
+                np.int64), 0, ccy - 1)
+            max_occ = int(np.bincount(cxi * ccy + cyi).max())
+            ccol = min(64, max(8, ceil8(max_occ + 3)))
+        else:
+            occ = 0.8 * n / float(ccx * ccy)
+            ccol = min(64, max(16, ceil8(8.0 * occ + 8.0)))
             ccol = max(ccol, cap.cluster_column_cap)
 
         if (max_points == cap.max_points and gx == cap.grid_cells_x
