@@ -31,36 +31,66 @@ import jax.numpy as jnp
 
 from lidar_ai_recommendation_software_tpu.ops.grouping import (
     ball_group, group_features)
+from lidar_ai_recommendation_software_tpu.ops.pallas import kernels as pk
 from lidar_ai_recommendation_software_tpu.ops.sampling import (
     farthest_point_sampling)
 
 
 class SetAbstraction(nn.Module):
-    """One PointNet++ SA layer (single example)."""
+    """One PointNet++ SA layer (single example).
+
+    ``use_pallas=True`` routes the two hot stages through the fused TPU
+    kernels (ops/pallas/kernels.py): ``fps`` keeps the distance cache
+    VMEM-resident across the sequential selection loop, and
+    ``sa_mlp_pool`` fuses the 3-layer shared MLP with the masked max-pool
+    so the (M, K, hidden) intermediates never round-trip to HBM. Both
+    paths share one parameter set (explicit kernel/bias params), so a
+    model trained on the differentiable jnp path serves through the fused
+    kernels unchanged. The fused path is forward-only (no VJP) — keep
+    ``use_pallas=False`` for training."""
 
     n_samples: int
     radius: float
     k: int
     mlp: Sequence[int]
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, points, features, mask):
-        idx = farthest_point_sampling(points, mask, self.n_samples)
+        fused = self.use_pallas and len(self.mlp) == 3
+        if fused:
+            idx = pk.fps(points, mask, self.n_samples)
+        else:
+            idx = farthest_point_sampling(points, mask, self.n_samples)
         centroids = points[idx]                       # (M, 3)
         cmask = mask[idx]
         gidx, gvalid = ball_group(centroids, cmask, points, mask,
                                   self.radius, self.k)
         g = group_features(points, features, centroids, gidx, gvalid)
 
-        for ch in self.mlp:
-            # params stay f32; compute dtype (bf16 on TPU) feeds the MXU
-            g = nn.Dense(ch, dtype=self.dtype)(g)
-            g = nn.relu(g)
-        # masked max-pool over the K neighbors
-        neg = jnp.asarray(-1e9, g.dtype)
-        g = jnp.where(gvalid[..., None], g, neg)
-        pooled = jnp.max(g, axis=1)                   # (M, C)
+        cin = g.shape[-1]
+        dims = [cin] + list(self.mlp)
+        params = []
+        for li, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+            params.append((
+                self.param(f"mlp{li}_kernel",
+                           nn.initializers.lecun_normal(), (a, b)),
+                self.param(f"mlp{li}_bias", nn.initializers.zeros, (b,))))
+
+        if fused:
+            pooled = pk.sa_mlp_pool(g, gvalid, params,
+                                    compute_dtype=self.dtype)
+        else:
+            for w, b in params:
+                # params stay f32; compute dtype (bf16 on TPU) feeds MXU
+                g = jnp.dot(g.astype(self.dtype), w.astype(self.dtype),
+                            preferred_element_type=jnp.float32) + b
+                g = nn.relu(g)
+            # masked max-pool over the K neighbors
+            neg = jnp.asarray(-1e9, g.dtype)
+            g = jnp.where(gvalid[..., None], g, neg)
+            pooled = jnp.max(g, axis=1)               # (M, C)
         pooled = jnp.where(cmask[:, None], pooled, 0.0)
         return centroids, pooled, cmask
 
@@ -102,15 +132,18 @@ class CrowdNet(nn.Module):
     grid: int = 64
     dtype: Any = jnp.float32
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, points, mask, venue_min, venue_size):
         SA = nn.remat(SetAbstraction) if self.remat else SetAbstraction
         c1, f1, m1 = SA(self.sa1_samples, 0.4, 32,
-                        (32, 32, 64), dtype=self.dtype, name="sa1")(
+                        (32, 32, 64), dtype=self.dtype,
+                        use_pallas=self.use_pallas, name="sa1")(
             points, None, mask)
         c2, f2, m2 = SA(self.sa2_samples, 1.0, 32,
-                        (64, 64, 128), dtype=self.dtype, name="sa2")(
+                        (64, 64, 128), dtype=self.dtype,
+                        use_pallas=self.use_pallas, name="sa2")(
             c1, f1, m1)
         h = BEVHead(self.grid, dtype=self.dtype, name="bev")(
             c2, f2, m2, venue_min, venue_size)
@@ -131,6 +164,7 @@ class BatchedCrowdNet(nn.Module):
     grid: int = 64
     dtype: Any = jnp.float32
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, points, mask, venue_min, venue_size):
@@ -140,5 +174,5 @@ class BatchedCrowdNet(nn.Module):
             variable_axes={"params": None},
             split_rngs={"params": False},
         )(self.sa1_samples, self.sa2_samples, self.grid, self.dtype,
-          self.remat)
+          self.remat, self.use_pallas)
         return net(points, mask, venue_min, venue_size)

@@ -133,19 +133,23 @@ def radius_count_reference(centers, people, pmask, radius):
 # sa_mlp_pool: fused shared-MLP + masked max-pool
 # ---------------------------------------------------------------------------
 
-def _sa_mlp_kernel(grouped_ref, valid_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                   w3_ref, b3_ref, out_ref):
+def _sa_mlp_kernel(compute_dtype, grouped_ref, valid_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
     g = grouped_ref[:]                     # (TM, K, Cin)
     v = valid_ref[:]                       # (TM, K)
     tm, k, cin = g.shape
-    x = g.reshape(tm * k, cin)
-    x = jnp.maximum(jnp.dot(x, w1_ref[:],
+    # MXU feeds in compute_dtype (bf16 on TPU doubles matmul throughput);
+    # accumulation stays f32 via preferred_element_type, bias adds in f32
+    x = g.reshape(tm * k, cin).astype(compute_dtype)
+    x = jnp.maximum(jnp.dot(x, w1_ref[:].astype(compute_dtype),
                             preferred_element_type=jnp.float32)
                     + b1_ref[:][None, :], 0.0)
-    x = jnp.maximum(jnp.dot(x, w2_ref[:],
+    x = jnp.maximum(jnp.dot(x.astype(compute_dtype),
+                            w2_ref[:].astype(compute_dtype),
                             preferred_element_type=jnp.float32)
                     + b2_ref[:][None, :], 0.0)
-    x = jnp.maximum(jnp.dot(x, w3_ref[:],
+    x = jnp.maximum(jnp.dot(x.astype(compute_dtype),
+                            w3_ref[:].astype(compute_dtype),
                             preferred_element_type=jnp.float32)
                     + b3_ref[:][None, :], 0.0)
     cout = x.shape[-1]
@@ -156,11 +160,14 @@ def _sa_mlp_kernel(grouped_ref, valid_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 def sa_mlp_pool(grouped: jnp.ndarray, valid: jnp.ndarray,
                 weights: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
-                tile: int = 128) -> jnp.ndarray:
+                tile: int = 128,
+                compute_dtype=jnp.float32) -> jnp.ndarray:
     """Fused 3-layer shared MLP + masked max-pool.
 
     grouped: (M, K, Cin); valid: (M, K) bool;
     weights: [(W1, b1), (W2, b2), (W3, b3)] -> (M, Cout) f32.
+    ``compute_dtype=bfloat16`` feeds the MXU at its native rate
+    (activations/weights cast per-layer, f32 accumulate).
     Centroids with no valid neighbor yield 0 (matching the masked
     pooled-feature semantics of models/crowdnet.py)."""
     assert len(weights) == 3, "kernel is specialised to 3 MLP layers"
@@ -174,7 +181,7 @@ def sa_mlp_pool(grouped: jnp.ndarray, valid: jnp.ndarray,
     cout = w3.shape[1]
 
     out = pl.pallas_call(
-        _sa_mlp_kernel,
+        functools.partial(_sa_mlp_kernel, compute_dtype),
         out_shape=jax.ShapeDtypeStruct((mp, cout), jnp.float32),
         grid=(mp // tile,),
         in_specs=[

@@ -27,7 +27,9 @@ def param_spec(path: Tuple, leaf, mp_size: int) -> P:
     of every matmul/conv kernel over mp when divisible (tiny heads with
     1-2 output channels stay replicated); biases and scalars replicate."""
     names = [getattr(p, "key", str(p)) for p in path]
-    if (leaf.ndim >= 2 and names and names[-1] == "kernel"
+    # matches Conv/Dense "kernel" and the SA layers' explicit
+    # "mlp{i}_kernel" params (models/crowdnet.py SetAbstraction)
+    if (leaf.ndim >= 2 and names and names[-1].endswith("kernel")
             and leaf.shape[-1] % mp_size == 0
             and leaf.shape[-1] >= mp_size):
         return P(*([None] * (leaf.ndim - 1) + ["mp"]))

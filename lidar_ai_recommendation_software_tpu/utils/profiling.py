@@ -97,3 +97,57 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting
+# ---------------------------------------------------------------------------
+
+# Public per-chip peak numbers, keyed by substring of
+# ``jax.Device.device_kind`` (e.g. "TPU v5 lite"). bf16 MXU FLOPs and HBM
+# bandwidth; f32 matmul peak is ~half the bf16 number on all listed parts.
+DEVICE_PEAKS = {
+    "v5 lite": {"chip": "v5e", "bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "v5e": {"chip": "v5e", "bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "v5p": {"chip": "v5p", "bf16_tflops": 459.0, "hbm_gbps": 2765.0},
+    "v6": {"chip": "v6e", "bf16_tflops": 918.0, "hbm_gbps": 1640.0},
+    "v4": {"chip": "v4", "bf16_tflops": 275.0, "hbm_gbps": 1228.0},
+    "v3": {"chip": "v3", "bf16_tflops": 123.0, "hbm_gbps": 900.0},
+    "v2": {"chip": "v2", "bf16_tflops": 45.0, "hbm_gbps": 700.0},
+}
+
+
+def device_peaks(device=None) -> Optional[Dict[str, float]]:
+    """Peak FLOPs/bandwidth for ``device`` (default: first jax device)."""
+    import jax
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "") or ""
+    for key, peaks in DEVICE_PEAKS.items():
+        if key in kind.lower():
+            return dict(peaks)
+    return None
+
+
+def roofline(flops: float, bytes_accessed: float, seconds: float,
+             device=None) -> Dict[str, float]:
+    """Achieved vs peak for one timed kernel/program.
+
+    Returns achieved TFLOP/s and GB/s plus percent-of-peak numbers and
+    which roof binds (higher fraction of its peak). Percentages are vs
+    the bf16 MXU peak — the speed-of-light target for this framework's
+    kernels; halve mentally for a pure-f32 program."""
+    out = {
+        "achieved_tflops": flops / seconds / 1e12,
+        "achieved_gbps": bytes_accessed / seconds / 1e9,
+    }
+    peaks = device_peaks(device)
+    if peaks:
+        out["chip"] = peaks["chip"]
+        out["pct_peak_flops"] = 100.0 * out["achieved_tflops"] / \
+            peaks["bf16_tflops"]
+        out["pct_peak_bw"] = 100.0 * out["achieved_gbps"] / \
+            peaks["hbm_gbps"]
+        out["bound"] = ("compute" if out["pct_peak_flops"]
+                        >= out["pct_peak_bw"] else "memory")
+    return out

@@ -59,6 +59,34 @@ class TestSAMLPPool:
         assert np.any(got[0] != 0.0)
 
 
+class TestCrowdNetFusedPath:
+    """CrowdNet(use_pallas=True) must match the differentiable jnp path
+    with the same parameters — the fused kernels are the serving path."""
+
+    def test_forward_equivalence(self):
+        from lidar_ai_recommendation_software_tpu.models.crowdnet import (
+            CrowdNet)
+
+        rng = np.random.RandomState(3)
+        n = 512
+        pts = jnp.asarray(rng.uniform(-8, 8, (n, 3)), jnp.float32)
+        mask = jnp.asarray(np.arange(n) < 480)
+        vmin = jnp.asarray([-8.0, -8.0], jnp.float32)
+        vsize = jnp.asarray(16.0, jnp.float32)
+
+        kw = dict(sa1_samples=128, sa2_samples=32, grid=16)
+        ref_net = CrowdNet(use_pallas=False, **kw)
+        params = ref_net.init(jax.random.PRNGKey(0), pts, mask, vmin,
+                              vsize)
+        want = ref_net.apply(params, pts, mask, vmin, vsize)
+        got = CrowdNet(use_pallas=True, **kw).apply(
+            params, pts, mask, vmin, vsize)
+        for key in ("density", "flow", "congestion"):
+            np.testing.assert_allclose(np.asarray(got[key]),
+                                       np.asarray(want[key]),
+                                       atol=1e-4, rtol=1e-4)
+
+
 class TestFPS:
     def test_matches_jnp_fps(self):
         rng = np.random.RandomState(2)
