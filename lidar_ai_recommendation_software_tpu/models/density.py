@@ -50,7 +50,14 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
     Cell (i, j) centre = origin + (i+0.5, j+0.5)*grid_size. Brute-force over
     the padded people set — K is small (<= capacity), so this is a dense
     (chunk, K) masked reduction per cell chunk; the Pallas kernel variant
-    tiles the same computation through VMEM (ops/pallas/density_kernel.py).
+    tiles the same computation through VMEM (``radius_count`` in
+    ops/pallas/kernels.py).
+
+    The backend/env dispatch below is intentionally trace-time: capacity
+    params are static, so the chosen branch is baked into the compiled
+    executable exactly once per capacity signature (flipping
+    LIDAR_TPU_PALLAS mid-process only affects later compilations — it is
+    a deploy-time switch, not a runtime one).
     """
     k = people.positions.shape[0]
     g = jnp.asarray(grid_size, people.positions.dtype)

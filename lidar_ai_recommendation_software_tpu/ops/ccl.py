@@ -373,8 +373,8 @@ def gs_passes(planes_xyz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         functools.partial(_gs_kernel, ncx, npass),
         grid=(npass, ncx),
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] + specs
-                  + [pl.BlockSpec(memory_space=pltpu.ANY)]),
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                  + [pl.BlockSpec(memory_space=pl.ANY)]),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((px, cap, pyp), jnp.int32),
                    jax.ShapeDtypeStruct((npass, 1), jnp.int32)),

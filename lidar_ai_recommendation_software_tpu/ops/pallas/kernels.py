@@ -154,7 +154,12 @@ def _sa_mlp_kernel(compute_dtype, grouped_ref, valid_ref, w1_ref, b1_ref,
                     + b3_ref[:][None, :], 0.0)
     cout = x.shape[-1]
     x = x.reshape(tm, k, cout)
-    x = jnp.where((v > 0)[..., None], x, -1e9)
+    # additive mask penalty, all-f32: Mosaic cannot insert a minor dim on
+    # an i1 vector ((TM, K) bool -> (TM, K, 1)), so instead of a where()
+    # the invalid rows are pushed to <= -1e9 arithmetically (v is 0/1 f32;
+    # post-ReLU activations are >= 0, so valid lanes are untouched and the
+    # any-valid wrapper zeroes all-invalid centroids)
+    x = x + (v[..., None] - 1.0) * 1e9
     out_ref[:] = jnp.max(x, axis=1)
 
 
