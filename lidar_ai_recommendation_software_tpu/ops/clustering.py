@@ -177,6 +177,67 @@ def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
                           max_iters=max_iters)
 
 
+def table_to_point_order(grid, interior_tbl: jnp.ndarray,
+                         fill) -> jnp.ndarray:
+    """Gather an interior (NCX, NCY, CAP) table back into point order
+    (N,), ``fill`` for points outside the grid (invalid / overflow)."""
+    flat = jnp.concatenate(
+        [columns.pad_interior(interior_tbl, fill).reshape(-1),
+         jnp.asarray([fill], interior_tbl.dtype)])
+    return flat[jnp.clip(grid.point_pos, 0, grid.table_ptidx.size)]
+
+
+def ccl_core_labels(grid, core_int: jnp.ndarray, eps: float,
+                    max_iters: int = 40, stripe: int = 8,
+                    shortcut_rounds: int = 0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Connected components over the core-core eps-adjacency of a column
+    grid: iterated min-label propagation + pointer jumping (the per-sweep
+    kernel of dbscan_columns, factored so the spatially-sharded DBSCAN in
+    parallel/cluster.py can run it as its per-shard kernel with an
+    externally-supplied core mask).
+
+    Labels hold ORIGINAL point indices (the index space of the array
+    passed to ``build_column_grid``); at the fixpoint each core point
+    carries the min point index of its component. Returns
+    (labels_pt (N,), labels_int (NCX, NCY, CAP)) — point order and table
+    layout; INT_MAX for non-core slots.
+    """
+    n = grid.point_pos.shape[0]
+    core_pad = columns.pad_interior(core_int, False)
+    ptidx_int = grid.table_ptidx[1:-1, 1:-1]
+    labels0 = jnp.where(core_int, ptidx_int, INT_MAX)
+
+    def jump(labels_int, labels_by_point):
+        """labels hold point indices; chase one hop via point order."""
+        safe = jnp.clip(labels_int, 0, n - 1)
+        hop = labels_by_point[safe]
+        ok = (labels_int != INT_MAX) & (hop != INT_MAX)
+        return jnp.where(ok, jnp.minimum(labels_int, hop), labels_int)
+
+    def sweep(state):
+        labels, _, it = state
+        nbr_min = columns.column_min_label(
+            grid, columns.pad_interior(labels, INT_MAX), core_pad, eps,
+            INT_MAX, stripe=stripe)
+        new = jnp.where(core_int, jnp.minimum(labels, nbr_min), labels)
+        # path-halving rounds: each one re-reads the point-order view and
+        # chases one hop — a pair of n-gathers, ~1000x cheaper than a
+        # neighborhood sweep, and together they collapse label chains so
+        # long components converge in ~log(diameter) sweeps.
+        for _ in range(1 + shortcut_rounds):
+            new = jump(new, table_to_point_order(grid, new, INT_MAX))
+        return new, jnp.any(new != labels), it + 1
+
+    # initial flag derived from a varying value so the carry's manual
+    # axes match inside shard_map (see shard_map docs on scan-vma)
+    labels_int, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < jnp.asarray(max_iters, s[2].dtype)),
+        sweep, (labels0, jnp.any(labels0 >= INT_MAX) | True,
+                jnp.asarray(0)))
+    return table_to_point_order(grid, labels_int, INT_MAX), labels_int
+
+
 def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
                    min_samples: int, ncx: int = 128, ncy: int = 128,
                    column_cap: int = 64, max_iters: int = 40,
@@ -212,45 +273,9 @@ def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     core_int = valid_int & (counts >= min_samples)
     core_pad = columns.pad_interior(core_int, False)
 
-    # labels live in table layout and hold ORIGINAL point indices, so the
-    # final representative of each cluster is its minimum point index.
-    ptidx_int = grid.table_ptidx[1:-1, 1:-1]
-    labels0 = jnp.where(core_int, ptidx_int, INT_MAX)
-
-    # point-index -> flat *padded* table position (for pointer jumping)
-    pos_by_point = grid.point_pos            # (N,)
-    padded_size = grid.table_ptidx.size
-
-    def to_point_order(labels_int):
-        flat = jnp.concatenate(
-            [columns.pad_interior(labels_int, INT_MAX).reshape(-1),
-             jnp.array([INT_MAX], jnp.int32)])
-        return flat[jnp.clip(pos_by_point, 0, padded_size)]
-
-    def jump(labels_int, labels_by_point):
-        """labels hold point indices; chase one hop via point order."""
-        safe = jnp.clip(labels_int, 0, n - 1)
-        hop = labels_by_point[safe]
-        ok = (labels_int != INT_MAX) & (hop != INT_MAX)
-        return jnp.where(ok, jnp.minimum(labels_int, hop), labels_int)
-
-    def sweep(state):
-        labels, _, it = state
-        nbr_min = columns.column_min_label(
-            grid, columns.pad_interior(labels, INT_MAX), core_pad, eps,
-            INT_MAX, stripe=stripe)
-        new = jnp.where(core_int, jnp.minimum(labels, nbr_min), labels)
-        # path-halving rounds: each one re-reads the point-order view and
-        # chases one hop — a pair of n-gathers, ~1000x cheaper than a
-        # neighborhood sweep, and together they collapse label chains so
-        # long components converge in ~log(diameter) sweeps.
-        for _ in range(1 + shortcut_rounds):
-            new = jump(new, to_point_order(new))
-        return new, jnp.any(new != labels), it + 1
-
-    labels_int, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < max_iters), sweep,
-        (labels0, jnp.asarray(True), jnp.asarray(0)))
+    _, labels_int = ccl_core_labels(grid, core_int, eps,
+                                    max_iters=max_iters, stripe=stripe,
+                                    shortcut_rounds=shortcut_rounds)
 
     # Border points: min label among core eps-neighbors.
     border_min = columns.column_min_label(
@@ -261,7 +286,7 @@ def dbscan_columns(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
                            border_min, labels_int)
 
     # Back to point order: one gather via each point's table position.
-    labels_pt = to_point_order(labels_int)
+    labels_pt = table_to_point_order(grid, labels_int, INT_MAX)
     labels_pt = jnp.where(labels_pt == INT_MAX, -1, labels_pt)
     labels_pt = jnp.where(mask, labels_pt, -1)
 

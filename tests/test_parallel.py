@@ -190,3 +190,38 @@ class TestShardedDBSCAN:
         lab = pc.sharded_dbscan(pts, 0.3, 3, mesh)
         assert (lab >= 0).all()
         assert len(np.unique(lab)) == 1
+
+    def test_venue_scale_matches_single_device(self):
+        """BASELINE config 5 at test scale: a >=200k-point venue sharded
+        8 ways must bit-match the single-device column-grid DBSCAN
+        (same dense labels once representatives are compacted)."""
+        import jax.numpy as jnp
+
+        from lidar_ai_recommendation_software_tpu.ops.clustering import (
+            dbscan_labels)
+        from lidar_ai_recommendation_software_tpu.parallel import (
+            cluster as pc)
+        from lidar_ai_recommendation_software_tpu.parallel.mesh import (
+            make_mesh)
+        from lidar_ai_recommendation_software_tpu.synthetic import (
+            scaled_venue)
+
+        pts = scaled_venue(200_000).astype(np.float32)
+        eps, ms = 0.3, 5
+        mesh = make_mesh((("sp", 8),))
+        lab = pc.sharded_dbscan(pts, eps, ms, mesh)
+
+        n = len(pts)
+        single, n_clusters, overflow = dbscan_labels(
+            jnp.asarray(pts), jnp.ones(n, bool), eps, ms,
+            ncx=512, ncy=512, column_cap=32)
+        single = np.asarray(single)
+        assert int(overflow) == 0
+        # sharded labels are representative gids ordered like the
+        # single-device dense ids (both rank by min point index)
+        reps = np.unique(lab[lab >= 0])
+        dense = np.full(n + 1, -1, np.int64)
+        dense[reps] = np.arange(len(reps))
+        np.testing.assert_array_equal(
+            np.where(lab >= 0, dense[np.clip(lab, 0, n)], -1), single)
+        assert len(reps) == int(n_clusters)
