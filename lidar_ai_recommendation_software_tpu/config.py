@@ -108,6 +108,12 @@ class FlowConfig:
     # are terrain speckle, excluded from NN tracking
     track_min_height: float = 0.3
     track_max_speed: float = 3.0
+    # multi-frame sequences only: a per-pair velocity sample survives iff
+    # it agrees (L2) with the same person's estimate from an adjacent
+    # frame pair within this tolerance — pedestrians accelerate ~1 m/s^2,
+    # so genuine frame-to-frame change is small while cluster merge/split
+    # identity swaps produce O(1 m/s) jumps
+    track_consistency_tol: float = 0.75
 
 
 @dataclasses.dataclass(frozen=True)

@@ -57,21 +57,26 @@ def frame_velocities(prev: People, curr: People, dt: float,
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def temporal_flow(prev: People, curr: People, dt: float,
-                  mins: jnp.ndarray, maxs: jnp.ndarray,
-                  config: PipelineConfig) -> FlowResults:
-    """Flow field from two tracked frames on the analysis lattice.
+def temporal_flow_multi(people_seq: People, dt: float,
+                        mins: jnp.ndarray, maxs: jnp.ndarray,
+                        config: PipelineConfig) -> FlowResults:
+    """Flow field from a whole tracked sequence on the analysis lattice.
 
-    Grid-node vectors are the mean velocity of people within the node's
-    cell neighborhood (radius = grid_size); nodes without nearby tracked
-    people carry zero vectors and are excluded from the stats, mirroring
-    how the reference handles empty regions."""
+    ``people_seq`` is a People pytree with a leading time axis (T, K, …)
+    — T per-frame extractions stacked. Every consecutive pair (t, t+1) is
+    tracked independently and its per-person velocities are accumulated
+    onto the lattice (sampled around frame t+1's positions); node vectors
+    are the count-weighted mean over ALL pairs, so a T-frame sequence
+    averages T-1 independent velocity estimates instead of relying on one
+    frame pair (the single-pair estimate is noisy exactly where crowds
+    are sparse). Nodes without nearby tracked people carry zero vectors
+    and are excluded from the stats, mirroring how the reference handles
+    empty regions."""
     fc = config.flow
     cap = config.capacity
-    vel, ok = frame_velocities(prev, curr, dt,
-                               max_speed=fc.track_max_speed)
+    n_frames = people_seq.positions.shape[0]
 
-    g = jnp.asarray(fc.grid_size, curr.positions.dtype)
+    g = jnp.asarray(fc.grid_size, people_seq.positions.dtype)
     gx, gy = cap.grid_cells_x, cap.grid_cells_y
     x0, y0 = mins[0], mins[1]
     nx = jnp.clip(jnp.ceil((maxs[0] + g - x0) / g).astype(jnp.int32),
@@ -84,14 +89,73 @@ def temporal_flow(prev: People, curr: People, dt: float,
     px = jnp.broadcast_to((x0 + ii * g)[:, None], (gx, gy))
     py = jnp.broadcast_to((y0 + jj * g)[None, :], (gx, gy))
     valid = (jnp.arange(gx)[:, None] < nx) & (jnp.arange(gy)[None, :] < ny)
-
-    # mean velocity of tracked people within grid_size of each node
     nodes = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=1)
-    d2 = jnp.sum((nodes[:, None, :] - curr.positions[None, :, :]) ** 2,
-                 axis=-1)
-    near = (d2 <= g * g) & ok[None, :]
-    wsum = jnp.sum(near[..., None] * vel[None, :, :], axis=1)
-    cnt = jnp.sum(near, axis=1)
+
+    def frame_t(t: int) -> People:
+        return jax.tree_util.tree_map(lambda a: a[t], people_seq)
+
+    # per-pair tracking (pair t = frames t -> t+1, samples indexed by
+    # frame t+1's people)
+    pairs = []
+    for t in range(n_frames - 1):  # static frame count: unrolled in jit
+        prev, curr = frame_t(t), frame_t(t + 1)
+        idx, ok = match_people(prev, curr,
+                               max_dist=fc.track_max_speed * dt)
+        vel = (curr.positions - prev.positions[idx]) / dt
+        pairs.append((idx, ok, jnp.where(ok[:, None], vel, 0.0)))
+
+    # Temporal-consistency filter (3+ frames): cluster merge/split events
+    # swap track identities and inject O(1 m/s) velocity outliers that a
+    # mutual-NN check cannot catch (both matches are locally nearest). A
+    # genuine pedestrian's velocity barely changes between adjacent
+    # pairs, so keep a sample only when it agrees with the SAME person's
+    # estimate from the previous or next pair within
+    # fc.track_consistency_tol.
+    k = people_seq.positions.shape[1]
+    tol2 = jnp.asarray(fc.track_consistency_tol, jnp.float32) ** 2
+
+    def consistent(keep_pairs):
+        out = []
+        for t, (idx, ok, vel) in enumerate(pairs):
+            with_prev = jnp.zeros((k,), bool)
+            if t > 0:
+                _, ok_p, vel_p = pairs[t - 1]
+                # pair t-1's samples are indexed by frame t people; idx
+                # maps frame t+1 person -> frame t person
+                pv = vel_p[idx]
+                p_ok = ok_p[idx]
+                with_prev = ok & p_ok & (
+                    jnp.sum((vel - pv) ** 2, axis=1) <= tol2)
+            with_next = jnp.zeros((k,), bool)
+            if t < len(pairs) - 1:
+                idx_n, ok_n, vel_n = pairs[t + 1]
+                # invert pair t+1's map: frame t+1 person j -> its
+                # velocity in pair t+1 (mutual matches are injective)
+                nv = jnp.zeros((k, 2), vel.dtype).at[idx_n].set(
+                    jnp.where(ok_n[:, None], vel_n, 0.0))
+                n_ok = jnp.zeros((k,), bool).at[idx_n].set(ok_n)
+                with_next = ok & n_ok & (
+                    jnp.sum((vel - nv) ** 2, axis=1) <= tol2)
+            out.append(ok & (with_prev | with_next))
+        return out
+
+    keeps = (consistent(pairs) if n_frames >= 3
+             else [ok for _, ok, _ in pairs])
+
+    # accumulate surviving velocity samples of every pair onto nodes
+    wsum = jnp.zeros((nodes.shape[0], 2), people_seq.positions.dtype)
+    cnt = jnp.zeros((nodes.shape[0],), jnp.int32)
+    for t in range(n_frames - 1):
+        _, _, vel = pairs[t]
+        keep = keeps[t]
+        curr = frame_t(t + 1)
+        d2 = jnp.sum(
+            (nodes[:, None, :] - curr.positions[None, :, :]) ** 2,
+            axis=-1)
+        near = (d2 <= g * g) & keep[None, :]
+        wsum = wsum + jnp.sum(near[..., None] * vel[None, :, :], axis=1)
+        cnt = cnt + jnp.sum(near, axis=1)
+
     vectors = (wsum / jnp.maximum(cnt, 1)[:, None]).reshape(gx, gy, 2)
     occupied = (cnt > 0).reshape(gx, gy) & valid
     vectors = jnp.where(occupied[..., None], vectors, 0.0)
@@ -124,3 +188,12 @@ def temporal_flow(prev: People, curr: People, dt: float,
         bottleneck_xy=jnp.stack([fx[top_i], fy[top_i]], axis=1),
         bottleneck_severity=jnp.where(bmask, top_v, 0),
         bottleneck_mask=bmask)
+
+
+def temporal_flow(prev: People, curr: People, dt: float,
+                  mins: jnp.ndarray, maxs: jnp.ndarray,
+                  config: PipelineConfig) -> FlowResults:
+    """Two-frame convenience wrapper over ``temporal_flow_multi``."""
+    seq = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                 prev, curr)
+    return temporal_flow_multi(seq, dt, mins, maxs, config)

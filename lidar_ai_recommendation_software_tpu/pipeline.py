@@ -43,6 +43,17 @@ def analyze_cloud(cloud: PointCloud, uniforms: jnp.ndarray,
     return processed, people, AnalysisResults(density=dres, flow=fres)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def people_of_cloud(cloud: PointCloud, config: PipelineConfig) -> tuple:
+    """Tracking-only device program: preprocess + people extraction,
+    skipping the density/flow stages — what each non-final frame of a
+    sequence needs (analyze_sequence). Same static-capacity contract as
+    analyze_cloud."""
+    processed = preprocess(cloud, config)
+    people = density_mod.extract_people(processed, config)
+    return processed, people
+
+
 _CACHE_ENABLED = False
 
 
@@ -243,31 +254,88 @@ class Pipeline:
 
     def analyze_sequence(self, frames, dt: float = 1.0) -> Dict:
         """Multi-frame analysis: density from the last frame, flow
-        *measured* by nearest-centroid tracking between the last two
-        frames (models/temporal.py) instead of the reference's simulated
-        field — the real implementation crowd_flow_model.py:19-26 defers.
+        *measured* by nearest-centroid tracking over EVERY consecutive
+        frame pair (models/temporal.py) instead of the reference's
+        simulated field — the real implementation crowd_flow_model.py:19-26
+        defers.
+
+        Cost discipline: the final frame gets the one full analysis; every
+        earlier frame runs only the tracking-only device program
+        (``people_of_cloud`` — preprocess + clustering, no density/flow
+        stages), so a new frame in a stream costs about one extraction
+        plus O(K^2) matching, never a second full pipeline run.
         """
         from lidar_ai_recommendation_software_tpu.models.temporal import (
-            temporal_flow)
+            temporal_flow_multi)
 
         if len(frames) < 2:
             return self.analyze(frames[0])
         out = self.analyze(frames[-1])
-        prev_out = self.analyze(frames[-2])
         processed = out["processed"]
+        offset = out["coordinate_offset"]
+
         # track only person-like clusters: ground-hugging pseudo-clusters
         # (terrain speckle) re-randomise every frame and poison NN
         # matching with spurious velocities
-        floor = processed.mins[2]
         min_h = self.config.flow.track_min_height
-        curr_people = out["people"].person_like(min_h, floor)
-        prev_people = prev_out["people"].person_like(
-            min_h, prev_out["processed"].mins[2])
-        res = temporal_flow(prev_people, curr_people,
-                            jnp.asarray(dt, jnp.float32),
-                            processed.mins[:2], processed.maxs[:2],
-                            self.config)
+        people_frames = []
+        # one capacity config for the whole sequence => one compile of
+        # the tracking program (sized to the largest frame)
+        cfg = self.fit_capacity(
+            np.asarray(frames[int(np.argmax([len(f) for f in frames]))],
+                       dtype=np.float64)[:, :3] - offset)
+        for f in frames[:-1]:
+            pts = np.asarray(f, dtype=np.float64)[:, :3] - offset
+            cloud = PointCloud.from_numpy(pts, cfg.capacity.max_points)
+            proc, ppl = people_of_cloud(cloud, cfg)
+            # same exactness guards as analyze(): grow capacities on
+            # overflow instead of silently dropping clusters
+            while (int(proc.cluster_overflow) > 0
+                   and (cfg.capacity.cluster_column_cap < 512
+                        or cfg.capacity.cluster_capacity
+                        < cfg.capacity.max_points)):
+                cfg = cfg.with_capacity(
+                    cluster_column_cap=min(
+                        512, cfg.capacity.cluster_column_cap * 2),
+                    cluster_capacity=min(
+                        cfg.capacity.max_points,
+                        max(1, cfg.capacity.cluster_capacity) * 2))
+                proc, ppl = people_of_cloud(cloud, cfg)
+            while int(ppl.overflow) > 0:
+                need = cfg.capacity.max_people + int(ppl.overflow)
+                cfg = cfg.with_capacity(
+                    max_people=1 << max(1, (need - 1).bit_length()))
+                proc, ppl = people_of_cloud(cloud, cfg)
+            people_frames.append(ppl.person_like(min_h, proc.mins[2]))
+
+        # the final frame's people come from the full analysis above, but
+        # its capacity config may differ (analyze() fits and grows its
+        # own); re-extract under cfg unless the people capacity already
+        # matches, so the stacked pytree has uniform shapes
+        if (out["people"].positions.shape[0]
+                == cfg.capacity.max_people):
+            people_frames.append(
+                out["people"].person_like(min_h, processed.mins[2]))
+        else:
+            pts = np.asarray(frames[-1], np.float64)[:, :3] - offset
+            cloud = PointCloud.from_numpy(pts, cfg.capacity.max_points)
+            proc, ppl = people_of_cloud(cloud, cfg)
+            people_frames.append(ppl.person_like(min_h, proc.mins[2]))
+
+        seq = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *people_frames)
+        res = temporal_flow_multi(seq, jnp.asarray(dt, jnp.float32),
+                                  processed.mins[:2], processed.maxs[:2],
+                                  cfg)
         flow_results = res.to_host_dict()
+        if np.asarray(offset).any():
+            ox, oy = float(offset[0]), float(offset[1])
+            for b in flow_results["bottlenecks"]:
+                b["x"] += ox
+                b["y"] += oy
+            flow_results["flow_vectors"]["positions"] = (
+                flow_results["flow_vectors"]["positions"]
+                + np.array([ox, oy]))
         out["flow"] = flow_results
         out["recommendations"] = generate_recommendations(
             out["density"], flow_results, self.config.recommend)
