@@ -85,7 +85,7 @@ def main():  # pragma: no cover - requires a display; logic lives in
         pm.add_dataset(os.path.basename(path), pts)
         set_status(f"imported {len(pts):,} points from "
                    f"{os.path.basename(path)}")
-        show_figure(viz.point_cloud_figure(pts, preview=True))
+        show_figure(viz.point_cloud_figure(pts, preview=True, engine="matplotlib"))
 
     def run_analysis(_event=None):
         if not pm.datasets:
@@ -98,7 +98,7 @@ def main():  # pragma: no cover - requires a display; logic lives in
         set_status(
             f"people={d['total_people']} max={d['max_density']:.2f} "
             f"p/m² speed={out['flow']['avg_speed']:.2f} m/s")
-        show_figure(viz.density_heatmap_figure(d))
+        show_figure(viz.density_heatmap_figure(d, engine="matplotlib"))
 
     def generate_report():
         if not pm.datasets:

@@ -120,7 +120,7 @@ def generate_report(density_results: Dict, flow_results: Dict,
     parts.append("<h2>Crowd Density</h2>")
     if include_figures:
         try:
-            b64 = viz.fig_to_base64(viz.density_heatmap_figure(d))
+            b64 = viz.fig_to_base64(viz.density_heatmap_figure(d, engine="matplotlib"))
             parts.append(f"<div class='figure'>"
                          f"<img src='data:image/png;base64,{b64}'/></div>")
         except Exception:
@@ -145,7 +145,7 @@ def generate_report(density_results: Dict, flow_results: Dict,
     parts.append("<h2>Crowd Flow</h2>")
     if include_figures:
         try:
-            b64 = viz.fig_to_base64(viz.flow_figure(f))
+            b64 = viz.fig_to_base64(viz.flow_figure(f, engine="matplotlib"))
             parts.append(f"<div class='figure'>"
                          f"<img src='data:image/png;base64,{b64}'/></div>")
         except Exception:
@@ -165,7 +165,7 @@ def generate_report(density_results: Dict, flow_results: Dict,
     # Combined congestion figure (report_generator.py:362-382)
     if include_figures:
         try:
-            b64 = viz.fig_to_base64(viz.congestion_figure(d, f))
+            b64 = viz.fig_to_base64(viz.congestion_figure(d, f, engine="matplotlib"))
             parts.append("<h2>Congestion Risk</h2><div class='figure'>"
                          f"<img src='data:image/png;base64,{b64}'/></div>")
         except Exception:

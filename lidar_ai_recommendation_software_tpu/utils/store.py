@@ -135,15 +135,20 @@ class ResultsStore:
         placeholders/DDL by overriding this method."""
         return self.conn.execute(sql, args)
 
+    def _insert(self, sql: str, args: tuple = ()) -> int:
+        """INSERT returning the new row id (dialect hook: sqlite
+        lastrowid; PostgreSQL RETURNING id)."""
+        cur = self._exec(sql, args)
+        self.conn.commit()
+        return cur.lastrowid
+
     # -- projects / datasets (database_manager.py API surface) --
 
     def create_project(self, name: str, description: str = "") -> int:
-        cur = self._exec(
+        return self._insert(
             "INSERT INTO projects (name, description, created_at, "
             "modified_at) VALUES (?,?,?,?)",
             (name, description, _now(), _now()))
-        self.conn.commit()
-        return cur.lastrowid
 
     def get_project(self, project_id: int) -> Optional[Dict]:
         row = self._exec(
@@ -173,13 +178,11 @@ class ResultsStore:
     def insert_dataset(self, project_id: Optional[int], name: str,
                        points: np.ndarray,
                        metadata: Optional[Dict] = None) -> int:
-        cur = self._exec(
+        return self._insert(
             "INSERT INTO datasets (project_id, name, point_count, points, "
             "metadata, created_at) VALUES (?,?,?,?,?,?)",
             (project_id, name, len(points), _pack_points(points),
              _dumps(metadata or {}), _now()))
-        self.conn.commit()
-        return cur.lastrowid
 
     def get_dataset(self, dataset_id: int):
         row = self._exec(
@@ -206,12 +209,10 @@ class ResultsStore:
 
     def create_event(self, name: str, venue: str = "",
                      event_date: str = "", description: str = "") -> int:
-        cur = self._exec(
+        return self._insert(
             "INSERT INTO events (name, venue, event_date, description, "
             "created_at) VALUES (?,?,?,?,?)",
             (name, venue, event_date, description, _now()))
-        self.conn.commit()
-        return cur.lastrowid
 
     def list_events(self) -> List[Dict]:
         rows = self._exec(
@@ -224,20 +225,16 @@ class ResultsStore:
     def create_analysis(self, event_id: Optional[int] = None,
                         dataset_id: Optional[int] = None, name: str = "",
                         point_summary: Optional[Dict] = None) -> int:
-        cur = self._exec(
+        return self._insert(
             "INSERT INTO analyses (event_id, dataset_id, name, "
             "point_summary, created_at) VALUES (?,?,?,?,?)",
             (event_id, dataset_id, name, _dumps(point_summary or {}),
              _now()))
-        self.conn.commit()
-        return cur.lastrowid
 
     def _save_results(self, table: str, analysis_id: int, results) -> int:
-        cur = self._exec(
+        return self._insert(
             f"INSERT INTO {table} (analysis_id, results, created_at) "
             "VALUES (?,?,?)", (analysis_id, _dumps(results), _now()))
-        self.conn.commit()
-        return cur.lastrowid
 
     def save_density_results(self, analysis_id: int, results) -> int:
         return self._save_results("density_results", analysis_id, results)
@@ -265,11 +262,9 @@ class ResultsStore:
 
     def save_report(self, analysis_id: int, html: str,
                     title: str = "") -> int:
-        cur = self._exec(
+        return self._insert(
             "INSERT INTO reports (analysis_id, title, html, created_at) "
             "VALUES (?,?,?,?)", (analysis_id, title, html, _now()))
-        self.conn.commit()
-        return cur.lastrowid
 
     def get_report(self, report_id: int) -> Optional[Dict]:
         row = self._exec(
@@ -305,6 +300,38 @@ class ResultsStore:
         self.conn.close()
 
 
+def translate_placeholders(sql: str) -> str:
+    """sqlite '?' -> psycopg2 '%s', skipping any '?' inside single-quoted
+    string literals (the naive str.replace would corrupt e.g.
+    ``INSERT ... VALUES ('what?')``). Single quotes escape by doubling
+    per SQL; '%' is doubled outside literals so psycopg2's printf-style
+    parameter parsing never misreads a literal percent."""
+    out = []
+    in_str = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == "?":
+            out.append("%s")
+        elif ch == "%":
+            out.append("%%")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def open_store(dsn: Optional[str] = None) -> ResultsStore:
     """Open the best available backend: a PostgreSQL DSN (postgres://...)
     when psycopg2 is importable, else SQLite (path or :memory:)."""
@@ -319,21 +346,39 @@ def open_store(dsn: Optional[str] = None) -> ResultsStore:
     return ResultsStore(dsn or ":memory:")
 
 
-class PostgresStore(ResultsStore):  # pragma: no cover (needs a server)
-    """psycopg2 backend with the same schema; translated placeholders."""
+def postgres_ddl() -> str:
+    """The shared schema in PostgreSQL dialect (utils/database.py of the
+    reference assumes pre-created tables, database.py:7-33; here the DDL
+    is explicit so a fresh database bootstraps itself)."""
+    return (_SCHEMA
+            .replace("INTEGER PRIMARY KEY AUTOINCREMENT",
+                     "SERIAL PRIMARY KEY")
+            .replace("BLOB", "BYTEA"))
 
-    def __init__(self, dsn: str):
+
+class PostgresStore(ResultsStore):
+    """psycopg2 backend with the same schema; translated placeholders.
+
+    All query logic is inherited — only ``_exec`` (placeholder dialect)
+    and connection bootstrap differ, so the whole SQLite test suite
+    covers the shared paths and ``translate_placeholders`` is unit-tested
+    standalone; the live-server integration test
+    (tests/test_utils.py::TestPostgresStore) runs wherever
+    LIDAR_PG_DSN/DATABASE_URL points at a reachable PostgreSQL."""
+
+    def __init__(self, dsn: str):  # pragma: no cover (needs a server)
         import psycopg2
         self.conn = psycopg2.connect(dsn)
         self.conn.autocommit = True
-        ddl = (_SCHEMA
-               .replace("INTEGER PRIMARY KEY AUTOINCREMENT",
-                        "SERIAL PRIMARY KEY")
-               .replace("BLOB", "BYTEA"))
         with self.conn.cursor() as cur:
-            cur.execute(ddl)
+            cur.execute(postgres_ddl())
 
     def _exec(self, sql: str, args: tuple = ()):
         cur = self.conn.cursor()
-        cur.execute(sql.replace("?", "%s"), args)
+        cur.execute(translate_placeholders(sql), args)
         return cur
+
+    def _insert(self, sql: str, args: tuple = ()) -> int:
+        """psycopg2 has no lastrowid for SERIAL keys; RETURNING id."""
+        cur = self._exec(sql + " RETURNING id", args)
+        return cur.fetchone()[0]

@@ -12,6 +12,63 @@ from lidar_ai_recommendation_software_tpu.utils.report import (
 from lidar_ai_recommendation_software_tpu.utils.store import ResultsStore
 
 
+class TestPlaceholderTranslation:
+    """sqlite '?' -> psycopg2 '%s' (PostgresStore._exec dialect hook)."""
+
+    def test_basic(self):
+        from lidar_ai_recommendation_software_tpu.utils.store import (
+            translate_placeholders as t)
+        assert t("SELECT 1 WHERE a=? AND b=?") == \
+            "SELECT 1 WHERE a=%s AND b=%s"
+
+    def test_literals_untouched(self):
+        from lidar_ai_recommendation_software_tpu.utils.store import (
+            translate_placeholders as t)
+        # '?' inside a string literal must survive (the old naive
+        # str.replace corrupted it)
+        assert t("INSERT INTO x (q) VALUES ('what?')") == \
+            "INSERT INTO x (q) VALUES ('what?')"
+        # escaped quote inside the literal
+        assert t("SELECT '?''?' , ?") == "SELECT '?''?' , %s"
+        # percent outside literals is doubled for psycopg2
+        assert t("SELECT ? WHERE a LIKE 'x%' OR b LIKE c || '%'") == \
+            "SELECT %s WHERE a LIKE 'x%' OR b LIKE c || '%'"
+        assert t("SELECT 100 % 7, ?") == "SELECT 100 %% 7, %s"
+
+
+class TestPostgresStore:
+    """Live-server integration — runs wherever LIDAR_PG_DSN or
+    DATABASE_URL points at a reachable PostgreSQL (skipped otherwise;
+    the shared query logic is fully covered by the SQLite suite since
+    PostgresStore only overrides _exec/_insert)."""
+
+    def test_roundtrip(self):
+        import os
+
+        import pytest
+        dsn = os.environ.get("LIDAR_PG_DSN",
+                             os.environ.get("DATABASE_URL", ""))
+        if not dsn.startswith(("postgres://", "postgresql://")):
+            pytest.skip("no PostgreSQL DSN configured")
+        psycopg2 = pytest.importorskip("psycopg2")
+        from lidar_ai_recommendation_software_tpu.utils.store import (
+            PostgresStore)
+        try:
+            s = PostgresStore(dsn)
+        except psycopg2.OperationalError:
+            pytest.skip("PostgreSQL server unreachable")
+        eid = s.create_event("it's a test?")  # literal stress
+        aid = s.create_analysis(event_id=eid, point_summary={"n": 3})
+        s.save_density_results(aid, {"total_people": 3})
+        s.save_flow_results(aid, {"avg_speed": 1.0})
+        rid = s.save_report(aid, "<html>100% done?</html>")
+        assert s.get_report(rid)["html"] == "<html>100% done?</html>"
+        assert s.get_density_results(aid)["total_people"] == 3
+        rows = s.analyses_for_event(eid)
+        assert rows and rows[-1]["has_density"]
+        s.close()
+
+
 class TestStore:
     def test_project_dataset_roundtrip(self, tmp_path):
         s = ResultsStore(str(tmp_path / "db.sqlite"))
@@ -135,13 +192,78 @@ class TestViz:
         from lidar_ai_recommendation_software_tpu.utils import viz
         out = Pipeline().analyze(fixture_points)
         for fig in [
-            viz.point_cloud_figure(fixture_points),
-            viz.density_heatmap_figure(out["density"]),
-            viz.flow_figure(out["flow"]),
-            viz.congestion_figure(out["density"], out["flow"]),
+            viz.point_cloud_figure(fixture_points,
+                                   engine="matplotlib"),
+            viz.density_heatmap_figure(out["density"],
+                                       engine="matplotlib"),
+            viz.flow_figure(out["flow"], engine="matplotlib"),
+            viz.congestion_figure(out["density"], out["flow"],
+                                  engine="matplotlib"),
         ]:
             b64 = viz.fig_to_base64(fig)
             assert len(b64) > 1000
+
+    def test_color_modes_and_projection_branches(self, fixture_points):
+        """Reference branches: all 4 point-cloud color modes
+        (visualization.py:38-70), projection-dims histogram at
+        resolution 100 and the KD-density scatter fallback (:117-191)."""
+        from lidar_ai_recommendation_software_tpu.utils import viz
+        pts = fixture_points[:3000]
+        for mode in ("Height", "Density", "Distance", "Cluster"):
+            clusters = (np.arange(len(pts)) % 7 if mode == "Cluster"
+                        else None)
+            fig = viz.point_cloud_figure(pts, clusters=clusters,
+                                         color_by=mode,
+                                         engine="matplotlib")
+            assert len(viz.fig_to_base64(fig)) > 1000
+        for dims in (("x", "y"), ("x", "z"), ("y", "z")):
+            fig = viz.density_heatmap_figure(
+                points=pts, projection_dims=dims, resolution=100,
+                engine="matplotlib")
+            assert len(viz.fig_to_base64(fig)) > 1000
+        fig = viz.density_heatmap_figure(
+            points=pts, as_heatmap=False, engine="matplotlib")
+        assert len(viz.fig_to_base64(fig)) > 1000
+
+    def test_plotly_builders(self, fixture_points):
+        """Interactive plotly builders (visualization.py parity) — run
+        wherever plotly is installed, skipped otherwise (gated import,
+        like streamlit)."""
+        import pytest
+        pytest.importorskip("plotly")
+        from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+        from lidar_ai_recommendation_software_tpu.utils import viz
+        out = Pipeline().analyze(fixture_points)
+        figs = [
+            viz.point_cloud_figure(fixture_points, engine="plotly"),
+            viz.density_heatmap_figure(out["density"], engine="plotly"),
+            viz.density_heatmap_figure(points=fixture_points,
+                                       projection_dims=("x", "z"),
+                                       engine="plotly"),
+            viz.density_heatmap_figure(points=fixture_points,
+                                       as_heatmap=False,
+                                       engine="plotly"),
+            viz.flow_figure(out["flow"], engine="plotly"),
+            viz.congestion_figure(out["density"], out["flow"],
+                                  engine="plotly"),
+        ]
+        for fig in figs:
+            assert viz.is_plotly_figure(fig)
+            assert fig.to_dict()["data"]  # non-empty traces
+
+    def test_engine_auto_without_plotly(self, fixture_points):
+        """auto == matplotlib when plotly is absent; explicit plotly
+        raises."""
+        from lidar_ai_recommendation_software_tpu.utils import viz
+        if viz.plotly_go() is not None:
+            import pytest
+            pytest.skip("plotly installed: auto resolves to plotly")
+        fig = viz.point_cloud_figure(fixture_points[:1000])
+        assert not viz.is_plotly_figure(fig)
+        import pytest
+        with pytest.raises(ImportError):
+            viz.point_cloud_figure(fixture_points[:1000],
+                                   engine="plotly")
 
 
 class TestCLI:
