@@ -71,25 +71,36 @@ def main():
     people_ok = (out_small["density"]["total_people"]
                  == oracle_small["density"]["total_people"])
 
-    # Steady-state timing at 1M on device. Distinct input clouds per call
+    # Steady-state timing on device. Distinct input clouds per call
     # and a value pull at the end: through the remote-device tunnel,
     # block_until_ready returns at enqueue time, so only a host read of
     # the final result gives honest wall-clock (device execution
     # serialises, so the pull fences the whole run).
-    cfg = pipe.fit_capacity(pts_big)
-    iters = 4
-    clouds = [PointCloud.from_numpy(pts_big + i * 1e-4,
-                                    cfg.capacity.max_points)
-              for i in range(iters)]
+    def measure(pts, iters):
+        cfg = pipe.fit_capacity(pts)
+        clouds = [PointCloud.from_numpy(pts + i * 1e-4,
+                                        cfg.capacity.max_points)
+                  for i in range(iters)]
+        r = pipe.analyze_device(clouds[0], cfg)
+        _ = float(r[2].density.max_density)  # warmup + fence
+        t0 = time.time()
+        for c in clouds:
+            r = pipe.analyze_device(c, cfg)
+        _ = float(r[2].density.max_density)
+        sec = (time.time() - t0) / iters
+        return len(pts) / sec, sec
 
-    r = pipe.analyze_device(clouds[0], cfg)
-    _ = float(r[2].density.max_density)  # warmup + fence
-    t0 = time.time()
-    for c in clouds:
-        r = pipe.analyze_device(c, cfg)
-    _ = float(r[2].density.max_density)
-    tpu_s = (time.time() - t0) / iters
-    tpu_pps = n_tpu / tpu_s
+    tpu_pps, tpu_s = measure(pts_big, iters=4)
+
+    # venue-scale tail (BASELINE configs 4-5 name 1M AND 10M+ scans);
+    # skipped when the headline size was overridden or on request
+    detail_10m = {}
+    if (n_tpu == 1_000_000
+            and os.environ.get("LIDAR_BENCH_10M", "1") == "1"):
+        pts_10m = scaled_venue(10_000_000)
+        pps_10m, s_10m = measure(pts_10m, iters=2)
+        detail_10m = {"points_per_sec_10m": round(pps_10m),
+                      "step_ms_10m": round(s_10m * 1000, 1)}
 
     result = {
         "metric": "full_pipeline_points_per_sec_1chip",
@@ -104,6 +115,7 @@ def main():
             "density_mae_vs_oracle_100k": mae,
             "people_parity_100k": bool(people_ok),
             "device": str(jax.devices()[0]),
+            **detail_10m,
         },
     }
     print(json.dumps(result))

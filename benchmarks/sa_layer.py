@@ -106,9 +106,10 @@ def main():
         variants[name] = {
             "ms_per_layer": round(sec * 1000, 2),
             "points_per_sec": round(n / sec),
-            "achieved_tflops": round(rl["achieved_tflops"], 2),
-            "pct_peak_flops": round(rl.get("pct_peak_flops", 0.0), 1),
-            "pct_peak_bw": round(rl.get("pct_peak_bw", 0.0), 1),
+            "achieved_tflops": round(rl["achieved_tflops"], 3),
+            "achieved_gbps": round(rl.get("achieved_gbps", 0.0), 2),
+            "pct_peak_flops": round(rl.get("pct_peak_flops", 0.0), 3),
+            "pct_peak_bw": round(rl.get("pct_peak_bw", 0.0), 3),
         }
 
     best = variants["fused_bf16"]

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--force-cpu-devices", type=int, default=0,
                     help="simulate N virtual CPU devices")
+    ap.add_argument("--cluster-points", type=int, default=0,
+                    help="also run sharded DBSCAN end to end on an "
+                         "N-point venue (BASELINE config 5: 10000000)")
     args = ap.parse_args()
 
     import os
@@ -86,6 +89,36 @@ def main():
                          round(cps / (base_pps * nd), 3)})
     print(json.dumps({"metric": "spatial_weak_scaling", "rows": rows,
                       "device": str(jax.devices()[0])}, indent=2))
+
+    # BASELINE config 5: venue-scale sharded clustering end to end —
+    # a 10M-point synthetic venue striped over the mesh, the column-grid
+    # CCL as the per-shard kernel (parallel/cluster.py). On the virtual
+    # CPU mesh this validates the full program at scale; wall-clock is
+    # meaningful only on real multi-chip hardware.
+    if args.cluster_points > 0:
+        import time
+
+        from lidar_ai_recommendation_software_tpu.parallel import (
+            cluster as pc)
+        from lidar_ai_recommendation_software_tpu.synthetic import (
+            scaled_venue)
+
+        nd = min(max(args.devices), avail)
+        mesh = make_mesh((("sp", nd),), jax.devices()[:nd])
+        pts = scaled_venue(args.cluster_points).astype(np.float32)
+        t0 = time.time()
+        labels = pc.sharded_dbscan(pts, eps=0.3, min_samples=5,
+                                   mesh=mesh)
+        wall = time.time() - t0
+        n_clusters = len(np.unique(labels[labels >= 0]))
+        print(json.dumps({
+            "metric": "sharded_dbscan_10m",
+            "points": args.cluster_points, "shards": nd,
+            "wall_s_incl_compile": round(wall, 1),
+            "points_per_sec": round(args.cluster_points / wall),
+            "n_clusters": n_clusters,
+            "noise_points": int((labels == -1).sum()),
+            "device": str(jax.devices()[0])}))
 
 
 if __name__ == "__main__":

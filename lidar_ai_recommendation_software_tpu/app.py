@@ -20,9 +20,6 @@ from __future__ import annotations
 
 import atexit
 import os
-import tempfile
-
-import numpy as np
 
 try:
     import streamlit as st

@@ -31,7 +31,6 @@ import numpy as np
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
-from matplotlib import cm  # noqa: E402
 
 _DIM_MAP = {"x": 0, "y": 1, "z": 2}
 
