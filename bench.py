@@ -102,6 +102,47 @@ def main():
         detail_10m = {"points_per_sec_10m": round(pps_10m),
                       "step_ms_10m": round(s_10m * 1000, 1)}
 
+    # fused SA layer (BASELINE.json north star: FPS + ball query + SA
+    # kernels); guarded so a kernel regression degrades the record, not
+    # the headline
+    if os.environ.get("LIDAR_BENCH_SA", "1") == "1":
+        try:
+            import jax.numpy as jnp
+
+            from lidar_ai_recommendation_software_tpu.ops.grouping import (
+                ball_group, group_features)
+            from lidar_ai_recommendation_software_tpu.ops.pallas import (
+                kernels as pk)
+            from lidar_ai_recommendation_software_tpu.utils.profiling \
+                import device_timer
+
+            n_sa, m_sa, k_sa = 100_000, 4096, 32
+            sa_pts = jnp.asarray(pts_small[:n_sa], jnp.float32)
+            sa_mask = jnp.ones(n_sa, bool)
+            rng = np.random.RandomState(0)
+            dims = [3, 32, 32, 64]
+            w = [(jnp.asarray(rng.randn(a, b) * 0.1, jnp.float32),
+                  jnp.zeros(b, jnp.float32))
+                 for a, b in zip(dims[:-1], dims[1:])]
+
+            def sa(p):
+                idx = pk.fps(p, sa_mask, m_sa)
+                cents = p[idx]
+                gidx, gvalid = ball_group(cents, sa_mask[idx], p,
+                                          sa_mask, 0.6, k_sa)
+                g = group_features(p, None, cents, gidx, gvalid)
+                return pk.sa_mlp_pool(g, gvalid, w,
+                                      compute_dtype=jnp.bfloat16)
+
+            import jax
+            f = jax.jit(sa)
+            sec = device_timer(f, lambda i: (sa_pts + i * 1e-4,),
+                               lambda r: r[0, 0], iters=2)
+            detail_10m["sa_layer_fused_ms"] = round(sec * 1000, 2)
+            detail_10m["sa_layer_points_per_sec"] = round(n_sa / sec)
+        except Exception as e:  # record, don't fail the headline
+            detail_10m["sa_layer_error"] = str(e)[:200]
+
     result = {
         "metric": "full_pipeline_points_per_sec_1chip",
         "value": round(tpu_pps),

@@ -125,6 +125,43 @@ size_t parse_las_points(const uint8_t* data, size_t len,
     return n_points;
 }
 
+// LZF decompression (liblzf stream format) — PCL writes PCD
+// DATA binary_compressed bodies with it. Format: control byte c < 32 =>
+// literal run of c+1 bytes; else a back-reference of length (c >> 5) + 2
+// (+ extension byte when the 3-bit length field saturates at 7) at
+// distance (((c & 0x1f) << 8) | next_byte) + 1. Returns bytes written,
+// or 0 on malformed input / output overflow.
+size_t lzf_decompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                      size_t out_len) {
+    size_t ip = 0, op = 0;
+    while (ip < in_len) {
+        uint32_t c = in[ip++];
+        if (c < 32) {
+            uint32_t run = c + 1;
+            if (ip + run > in_len || op + run > out_len) return 0;
+            memcpy(out + op, in + ip, run);
+            ip += run;
+            op += run;
+        } else {
+            uint32_t len = c >> 5;
+            if (len == 7) {
+                if (ip >= in_len) return 0;
+                len += in[ip++];
+            }
+            if (ip >= in_len) return 0;
+            size_t dist = ((c & 0x1fu) << 8 | in[ip++]) + 1;
+            if (dist > op) return 0;
+            size_t ref = op - dist;
+            len += 2;
+            if (op + len > out_len) return 0;
+            for (uint32_t i = 0; i < len; i++)  // overlapping copies OK
+                out[op + i] = out[ref + i];
+            op += len;
+        }
+    }
+    return op;
+}
+
 // Count newline-terminated lines (upper bound for text allocation).
 size_t count_lines(const char* data, size_t len) {
     size_t n = 0;

@@ -145,8 +145,17 @@ def _load_npz(data: bytes) -> np.ndarray:
             f"npz has no points/xyz/arr_0 array (keys: {list(z.keys())})")
 
 
+_PCD_TYPES = {("F", 4): "<f4", ("F", 8): "<f8",
+              ("I", 1): "<i1", ("I", 2): "<i2", ("I", 4): "<i4",
+              ("U", 1): "<u1", ("U", 2): "<u2", ("U", 4): "<u4"}
+
+
 def _load_pcd(data: bytes) -> np.ndarray:
-    """ASCII PCD (data_processing.py:43-76 semantics, but field-aware)."""
+    """PCD loader: ascii (data_processing.py:43-76 semantics, but
+    field-aware), plus the DATA binary and DATA binary_compressed modes
+    the reference rejects — binary is what PCL sensors actually emit;
+    binary_compressed bodies are LZF streams decoded by the native
+    library (utils/native.lzf_decompress, Python fallback)."""
     header_end = data.find(b"DATA ")
     if header_end < 0:
         raise LoaderError("PCD: no DATA line")
@@ -155,18 +164,36 @@ def _load_pcd(data: bytes) -> np.ndarray:
     body = data[nl + 1:]
 
     fields = []
+    sizes = []
+    types = []
+    counts = []
+    n_points = 0
     data_mode = "ascii"
     for line in header.splitlines():
         parts = line.strip().split()
         if not parts:
             continue
-        if parts[0] == "FIELDS":
+        key = parts[0]
+        if key == "FIELDS":
             fields = [p.lower() for p in parts[1:]]
-        elif parts[0] == "DATA":
+        elif key == "SIZE":
+            sizes = [int(p) for p in parts[1:]]
+        elif key == "TYPE":
+            types = [p.upper() for p in parts[1:]]
+        elif key == "COUNT":
+            counts = [int(p) for p in parts[1:]]
+        elif key == "POINTS":
+            n_points = int(parts[1])
+        elif key == "DATA":
             data_mode = parts[1] if len(parts) > 1 else "ascii"
+
+    if data_mode in ("binary", "binary_compressed"):
+        return _load_pcd_binary(body, fields, sizes, types,
+                                counts or [1] * len(fields), n_points,
+                                compressed=data_mode
+                                == "binary_compressed")
     if data_mode != "ascii":
-        raise LoaderError(
-            f"PCD DATA {data_mode} not supported (ascii only)")
+        raise LoaderError(f"PCD DATA {data_mode} not supported")
     arr = _load_text(body)
     if fields and fields[:3] != ["x", "y", "z"]:
         try:
@@ -176,6 +203,53 @@ def _load_pcd(data: bytes) -> np.ndarray:
         full = _load_text_full(body, len(fields))
         return full[:, [ix, iy, iz]]
     return arr
+
+
+def _load_pcd_binary(body: bytes, fields, sizes, types, counts,
+                     n_points: int, compressed: bool) -> np.ndarray:
+    if not (fields and sizes and types) or not (
+            len(fields) == len(sizes) == len(types) == len(counts)):
+        raise LoaderError("PCD binary: malformed FIELDS/SIZE/TYPE header")
+    if n_points <= 0:
+        raise LoaderError("PCD binary: POINTS missing")
+    try:
+        np_types = [_PCD_TYPES[(t, s)] for t, s in zip(types, sizes)]
+    except KeyError as e:
+        raise LoaderError(f"PCD binary: unsupported TYPE/SIZE {e}") from e
+    try:
+        ix, iy, iz = (fields.index(a) for a in ("x", "y", "z"))
+    except ValueError as e:
+        raise LoaderError(f"PCD missing xyz fields: {fields}") from e
+
+    if compressed:
+        # body = u32 compressed_size, u32 uncompressed_size, LZF blob;
+        # decompressed layout is SOA: field 0 for all points, field 1...
+        if len(body) < 8:
+            raise LoaderError("PCD binary_compressed: truncated header")
+        csize, usize = np.frombuffer(body[:8], "<u4")
+        from lidar_ai_recommendation_software_tpu.utils import native
+        raw = native.lzf_decompress(body[8:8 + int(csize)], int(usize))
+        if raw is None:
+            raise LoaderError("PCD binary_compressed: LZF decode failed")
+        cols = []
+        off = 0
+        for f, t, c in zip(fields, np_types, counts):
+            nbytes = np.dtype(t).itemsize * c * n_points
+            if f in ("x", "y", "z"):
+                col = np.frombuffer(raw[off:off + nbytes], t)
+                cols.append((f, col.reshape(n_points, c)[:, 0]))
+            off += nbytes
+        by = dict(cols)
+        return np.stack([np.asarray(by[a], np.float64)
+                         for a in ("x", "y", "z")], axis=1)
+
+    # AOS: one structured record per point
+    dt = np.dtype([(f"f{i}", t, (c,)) for i, (t, c) in
+                   enumerate(zip(np_types, counts))])
+    n_avail = len(body) // dt.itemsize
+    rec = np.frombuffer(body[:min(n_points, n_avail) * dt.itemsize], dt)
+    return np.stack([np.asarray(rec[f"f{i}"][:, 0], np.float64)
+                     for i in (ix, iy, iz)], axis=1)
 
 
 def _load_text_full(data: bytes, ncols: int) -> np.ndarray:

@@ -76,6 +76,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double)]
         lib.count_lines.restype = ctypes.c_size_t
         lib.count_lines.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.lzf_decompress.restype = ctypes.c_size_t
+        lib.lzf_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -113,3 +117,52 @@ def parse_las_points(data: bytes, point_offset: int, record_len: int,
         float(offset[0]), float(offset[1]), float(offset[2]),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out[:n]
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> Optional[bytes]:
+    """LZF decompression (PCD binary_compressed bodies). Uses the native
+    library when available; falls back to a pure-Python decoder (same
+    liblzf stream format) so the loader works without a toolchain.
+    Returns None on malformed input."""
+    lib = get_lib()
+    if lib is not None:
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(expected_size, dtype=np.uint8)
+        n = lib.lzf_decompress(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            expected_size)
+        return out[:n].tobytes() if n == expected_size else None
+    return _lzf_decompress_py(data, expected_size)
+
+
+def _lzf_decompress_py(data: bytes, expected_size: int) -> Optional[bytes]:
+    out = bytearray()
+    ip, n = 0, len(data)
+    while ip < n:
+        c = data[ip]
+        ip += 1
+        if c < 32:
+            run = c + 1
+            if ip + run > n:
+                return None
+            out += data[ip:ip + run]
+            ip += run
+        else:
+            length = c >> 5
+            if length == 7:
+                if ip >= n:
+                    return None
+                length += data[ip]
+                ip += 1
+            if ip >= n:
+                return None
+            dist = ((c & 0x1F) << 8 | data[ip]) + 1
+            ip += 1
+            ref = len(out) - dist
+            if ref < 0:
+                return None
+            for _ in range(length + 2):   # overlapping copies by design
+                out.append(out[ref])
+                ref += 1
+    return bytes(out) if len(out) == expected_size else None
