@@ -17,8 +17,8 @@ provides:
 
 from __future__ import annotations
 
-import concurrent.futures
 import logging
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -27,23 +27,56 @@ import numpy as np
 logger = logging.getLogger("lidar_tpu.resilience")
 
 
-def device_healthy(timeout_s: float = 10.0) -> bool:
-    """True when the default device executes + returns within budget."""
-    def probe():
-        import jax.numpy as jnp
-        x = jnp.ones((128, 128))
-        return float(jnp.sum(x @ x))
+def _default_probe():
+    import jax.numpy as jnp
+    x = jnp.ones((128, 128))
+    return float(jnp.sum(x @ x))
 
-    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-    try:
-        fut = ex.submit(probe)
-        val = fut.result(timeout=timeout_s)
-        return bool(np.isfinite(val))
-    except Exception as e:  # timeout, runtime error, no device
-        logger.warning("device health probe failed: %s", e)
-        return False
-    finally:
-        ex.shutdown(wait=False, cancel_futures=True)
+
+def device_healthy(timeout_s: float = 10.0, attempts: int = 3,
+                   retry_delay_s: float = 5.0, probe=None) -> bool:
+    """True when the default device executes + returns within budget.
+
+    Remote-device tunnels surface *transient* INTERNAL errors (observed:
+    a probe fails with "TPU backend error (Internal)" and the very next
+    one succeeds), so a single failed probe must not condemn the device:
+    retry up to ``attempts`` times with a flat delay. A probe that *hangs*
+    (timeout) still counts as one failed attempt — the per-attempt budget
+    is ``timeout_s``.
+    """
+    if probe is None:
+        probe = _default_probe
+
+    for i in range(attempts):
+        # A plain daemon thread, NOT ThreadPoolExecutor: pool workers are
+        # non-daemon, so a probe wedged inside a device call would block
+        # interpreter exit — the caller would print its degraded record
+        # and then hang until killed from outside (observed with a downed
+        # axon tunnel). A daemon thread lets the process exit cleanly.
+        box: Dict[str, object] = {}
+
+        def run():
+            try:
+                box["val"] = probe()
+            except Exception as e:  # runtime error, no device
+                box["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=timeout_s)
+        if "val" in box and np.isfinite(box["val"]):
+            return True
+        if t.is_alive():
+            logger.warning("device health probe timed out "
+                           "(attempt %d/%d, %.0fs)", i + 1, attempts,
+                           timeout_s)
+        else:
+            logger.warning("device health probe failed (attempt %d/%d):"
+                           " %s", i + 1, attempts,
+                           box.get("err", box.get("val")))
+        if i + 1 < attempts:
+            time.sleep(retry_delay_s)
+    return False
 
 
 def retry(fn: Callable, attempts: int = 3, base_delay_s: float = 1.0,

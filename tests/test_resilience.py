@@ -10,6 +10,31 @@ def test_device_healthy_on_cpu():
     assert resilience.device_healthy(timeout_s=30.0)
 
 
+def test_device_healthy_retries_transient_failure():
+    # The first probe throws (a transient tunnel INTERNAL error); the
+    # second succeeds — the device must be reported healthy.
+    calls = {"n": 0}
+
+    def flaky_probe():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("INTERNAL: TPU backend error (Internal).")
+        return 1.0
+
+    assert resilience.device_healthy(timeout_s=5.0, attempts=3,
+                                     retry_delay_s=0.0, probe=flaky_probe)
+    assert calls["n"] == 2
+
+
+def test_device_healthy_false_after_exhausted_attempts():
+    def dead_probe():
+        raise RuntimeError("no device")
+
+    assert not resilience.device_healthy(timeout_s=5.0, attempts=2,
+                                         retry_delay_s=0.0,
+                                         probe=dead_probe)
+
+
 def test_retry_eventually_succeeds():
     calls = {"n": 0}
 
