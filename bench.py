@@ -50,7 +50,10 @@ def main():
     # honest degraded record instead of hanging the driver) ----
     from lidar_ai_recommendation_software_tpu.utils.resilience import (
         device_healthy)
-    if not device_healthy(timeout_s=120.0):
+    # explicit attempts/delay: worst case 3x120s + 2x5s before declaring
+    # the chip down — intentional here (the driver runs bench once per
+    # round; a transient tunnel error must not zero the record)
+    if not device_healthy(timeout_s=120.0, attempts=3, retry_delay_s=5.0):
         print(json.dumps({
             "metric": "full_pipeline_points_per_sec_1chip",
             "value": 0, "unit": "points/s", "vs_baseline": 0.0,

@@ -57,22 +57,28 @@ def device_healthy(timeout_s: float = 10.0, attempts: int = 3,
 
         def run():
             try:
-                box["val"] = probe()
+                # coerce + finiteness-check INSIDE the guarded worker: a
+                # custom probe returning a non-numeric value must read as
+                # an unhealthy probe, not a TypeError out of the caller
+                box["val"] = float(probe())
+                box["ok"] = bool(np.isfinite(box["val"]))
             except Exception as e:  # runtime error, no device
                 box["err"] = e
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
         t.join(timeout=timeout_s)
-        if "val" in box and np.isfinite(box["val"]):
+        if box.get("ok"):
             return True
         if t.is_alive():
             logger.warning("device health probe timed out "
                            "(attempt %d/%d, %.0fs)", i + 1, attempts,
                            timeout_s)
         else:
+            # %r, not %s: exceptions raised with empty messages (observed
+            # from the axon tunnel) must still log their class
             logger.warning("device health probe failed (attempt %d/%d):"
-                           " %s", i + 1, attempts,
+                           " %r", i + 1, attempts,
                            box.get("err", box.get("val")))
         if i + 1 < attempts:
             time.sleep(retry_delay_s)
@@ -89,7 +95,7 @@ def retry(fn: Callable, attempts: int = 3, base_delay_s: float = 1.0,
         except retryable as e:
             last = e
             delay = base_delay_s * (2 ** i)
-            logger.warning("attempt %d/%d failed (%s); retrying in %.1fs",
+            logger.warning("attempt %d/%d failed (%r); retrying in %.1fs",
                            i + 1, attempts, e, delay)
             time.sleep(delay)
     raise last
@@ -109,7 +115,12 @@ class FallbackPipeline:
         self.fallbacks = 0
 
     def analyze(self, points: np.ndarray) -> Dict:
-        if self.probe_first and not device_healthy(self.health_timeout_s):
+        # attempts=1: the probe gates a *fast failover* to the CPU oracle —
+        # retrying transients here would delay degraded-mode results by
+        # minutes (retries belong to callers that must not give up, like
+        # bench.py's driver guard)
+        if self.probe_first and not device_healthy(self.health_timeout_s,
+                                                   attempts=1):
             return self._analyze_oracle(points)
         try:
             return self.pipeline.analyze(points)

@@ -35,6 +35,29 @@ def test_device_healthy_false_after_exhausted_attempts():
                                          probe=dead_probe)
 
 
+def test_device_healthy_non_numeric_probe_is_unhealthy():
+    # A probe returning a non-coercible value must read as an unhealthy
+    # device, not raise TypeError out of device_healthy.
+    assert not resilience.device_healthy(timeout_s=5.0, attempts=1,
+                                         retry_delay_s=0.0,
+                                         probe=lambda: object())
+
+
+def test_device_healthy_logs_exception_class(caplog):
+    # Exceptions with empty str() (seen from the axon tunnel) must still
+    # leave a usable diagnostic: the %r format keeps the class name.
+    import logging
+
+    def empty_msg_probe():
+        raise RuntimeError()
+
+    with caplog.at_level(logging.WARNING, logger="lidar_tpu.resilience"):
+        assert not resilience.device_healthy(timeout_s=5.0, attempts=1,
+                                             retry_delay_s=0.0,
+                                             probe=empty_msg_probe)
+    assert any("RuntimeError" in r.getMessage() for r in caplog.records)
+
+
 def test_retry_eventually_succeeds():
     calls = {"n": 0}
 
