@@ -42,12 +42,16 @@ class SetAbstraction(nn.Module):
     ``use_pallas=True`` routes the two hot stages through the fused TPU
     kernels (ops/pallas/kernels.py): ``fps`` keeps the distance cache
     VMEM-resident across the sequential selection loop, and
-    ``sa_mlp_pool`` fuses the 3-layer shared MLP with the masked max-pool
-    so the (M, K, hidden) intermediates never round-trip to HBM. Both
-    paths share one parameter set (explicit kernel/bias params), so a
-    model trained on the differentiable jnp path serves through the fused
-    kernels unchanged. The fused path is forward-only (no VJP) — keep
-    ``use_pallas=False`` for training."""
+    ``sa_mlp_pool_trainable`` fuses the 3-layer shared MLP with the
+    masked max-pool so the (M, K, hidden) intermediates never round-trip
+    to HBM. Both paths share one parameter set (explicit kernel/bias
+    params), so checkpoints are interchangeable between them. The fused
+    path is trainable: its custom VJP recomputes the activations with
+    bit-matching jnp math (remat-style), so jax.grad is legal and the
+    loss curve tracks the jnp path (tests/test_sa_vjp.py). FPS indices
+    are a non-differentiable selection on both paths (the jnp path's
+    argmax contributes no gradient; the kernel takes stop_gradient'd
+    coordinates)."""
 
     n_samples: int
     radius: float
@@ -60,7 +64,8 @@ class SetAbstraction(nn.Module):
     def __call__(self, points, features, mask):
         fused = self.use_pallas and len(self.mlp) == 3
         if fused:
-            idx = pk.fps(points, mask, self.n_samples)
+            idx = pk.fps(jax.lax.stop_gradient(points), mask,
+                         self.n_samples)
         else:
             idx = farthest_point_sampling(points, mask, self.n_samples)
         centroids = points[idx]                       # (M, 3)
@@ -79,8 +84,8 @@ class SetAbstraction(nn.Module):
                 self.param(f"mlp{li}_bias", nn.initializers.zeros, (b,))))
 
         if fused:
-            pooled = pk.sa_mlp_pool(g, gvalid, params,
-                                    compute_dtype=self.dtype)
+            pooled = pk.sa_mlp_pool_trainable(g, gvalid, params,
+                                              compute_dtype=self.dtype)
         else:
             for w, b in params:
                 # params stay f32; compute dtype (bf16 on TPU) feeds MXU

@@ -44,6 +44,8 @@ class TrainConfig:
     seed: int = 0
     bf16: bool = False         # bf16 compute dtype (MXU fast path)
     remat: bool = False        # rematerialise SA layers (memory/flops)
+    use_pallas: bool = False   # fused SA kernels (train AND serve; the
+    #                            custom VJP makes jax.grad legal here)
 
 
 class TrainState(train_state.TrainState):
@@ -56,7 +58,7 @@ def make_model(cfg: TrainConfig) -> BatchedCrowdNet:
         sa1_samples=cfg.sa1_samples, sa2_samples=cfg.sa2_samples,
         grid=cfg.grid,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-        remat=cfg.remat)
+        remat=cfg.remat, use_pallas=cfg.use_pallas)
 
 
 def synth_example(rng: np.random.RandomState, cfg: TrainConfig):

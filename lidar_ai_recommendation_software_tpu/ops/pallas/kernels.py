@@ -216,6 +216,71 @@ def sa_mlp_pool(grouped: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(any_valid[:, None], pooled, 0.0)
 
 
+def _sa_jnp_math(compute_dtype, grouped, valid, w1, b1, w2, b2, w3, b3):
+    """Differentiable jnp twin of the fused kernel's exact math: per-layer
+    casts to ``compute_dtype`` feeding the MXU, f32 accumulation/bias,
+    additive -1e9 mask penalty, masked max-pool. Used as the backward
+    recompute of ``sa_mlp_pool_trainable`` so the gradient is the VJP of
+    the same function the kernel evaluates."""
+    x = grouped.astype(jnp.float32)
+    for w, b in ((w1, b1), (w2, b2), (w3, b3)):
+        x = jnp.maximum(
+            jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + b.astype(jnp.float32), 0.0)
+    x = x + (valid[..., None].astype(jnp.float32) - 1.0) * 1e9
+    pooled = jnp.max(x, axis=1)
+    return jnp.where(jnp.any(valid, axis=1)[:, None], pooled, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sa_mlp_pool_ad(compute_dtype, grouped, valid, w1, b1, w2, b2, w3,
+                    b3):
+    return sa_mlp_pool(grouped, valid, [(w1, b1), (w2, b2), (w3, b3)],
+                       compute_dtype=compute_dtype)
+
+
+def _sa_mlp_pool_fwd(compute_dtype, grouped, valid, w1, b1, w2, b2, w3,
+                     b3):
+    out = _sa_mlp_pool_ad(compute_dtype, grouped, valid, w1, b1, w2, b2,
+                          w3, b3)
+    # rematerialisation contract: save only the INPUTS — the (M, K,
+    # hidden) activations the fused forward never materialised are
+    # recomputed by the backward, preserving the kernel's HBM win
+    return out, (grouped, valid, w1, b1, w2, b2, w3, b3)
+
+
+def _sa_mlp_pool_bwd(compute_dtype, res, ct):
+    grouped, valid, w1, b1, w2, b2, w3, b3 = res
+    _, vjp = jax.vjp(
+        lambda g, *ws: _sa_jnp_math(compute_dtype, g, valid, *ws),
+        grouped, w1, b1, w2, b2, w3, b3)
+    dg, dw1, db1, dw2, db2, dw3, db3 = vjp(ct)
+    import numpy as np
+    dvalid = np.zeros(valid.shape, dtype=jax.dtypes.float0)
+    return (dg, dvalid, dw1, db1, dw2, db2, dw3, db3)
+
+
+_sa_mlp_pool_ad.defvjp(_sa_mlp_pool_fwd, _sa_mlp_pool_bwd)
+
+
+def sa_mlp_pool_trainable(grouped: jnp.ndarray, valid: jnp.ndarray,
+                          weights: Sequence[Tuple[jnp.ndarray,
+                                                  jnp.ndarray]],
+                          compute_dtype=jnp.float32) -> jnp.ndarray:
+    """``sa_mlp_pool`` with a custom VJP, legal under jax.grad.
+
+    Forward is the fused Pallas kernel; backward recomputes the MLP
+    activations with the bit-matching jnp math (``_sa_jnp_math``) and
+    takes its VJP — a remat-style pairing, so training rides the same
+    fused path as serving while the (M, K, hidden) intermediates exist
+    only transiently inside each pass."""
+    assert len(weights) == 3, "kernel is specialised to 3 MLP layers"
+    (w1, b1), (w2, b2), (w3, b3) = weights
+    return _sa_mlp_pool_ad(compute_dtype, grouped, valid, w1, b1, w2, b2,
+                           w3, b3)
+
+
 def sa_mlp_pool_reference(grouped, valid, weights):
     x = grouped.astype(jnp.float32)
     for w, b in weights:
