@@ -41,6 +41,11 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--event", default="", help="event name for the store")
     a.add_argument("--no-figures", action="store_true",
                    help="skip figure rendering in the report")
+    a.add_argument("--neural", nargs="?", const="default", default=None,
+                   metavar="CKPT",
+                   help="serve with CrowdNet (one MXU forward pass) "
+                        "instead of the analytic pipeline; optional "
+                        "checkpoint path (default: packaged tiny ckpt)")
 
     s = sub.add_parser("sample", help="generate the synthetic venue")
     s.add_argument("--points", type=int, default=10_000)
@@ -51,6 +56,32 @@ def _build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="inspect a point cloud file")
     i.add_argument("cloud")
+
+    t = sub.add_parser(
+        "train", help="distil the analytic pipeline into CrowdNet")
+    t.add_argument("--out", default="crowdnet.npz",
+                   help="portable checkpoint artifact to write")
+    t.add_argument("--steps", type=int, default=200)
+    t.add_argument("--batch-size", type=int, default=4)
+    t.add_argument("--points", type=int, default=4096,
+                   help="points per training venue (static capacity)")
+    t.add_argument("--grid", type=int, default=32, help="BEV grid size")
+    t.add_argument("--sa1", type=int, default=512,
+                   help="SA1 FPS sample count")
+    t.add_argument("--sa2", type=int, default=128,
+                   help="SA2 FPS sample count")
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--bf16", action="store_true",
+                   help="bf16 compute dtype (MXU fast path)")
+    t.add_argument("--pallas", action="store_true",
+                   help="train through the fused Pallas SA kernels")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialise SA layers (memory for FLOPs)")
+    t.add_argument("--eval-venues", type=int, default=8,
+                   help="held-out venues for the final metrics")
+    t.add_argument("--orbax-dir", default=None,
+                   help="also save a resumable Orbax train-state here")
 
     q = sub.add_parser("analyze-seq",
                        help="temporal analysis of a frame sequence")
@@ -73,12 +104,18 @@ def _load(path: str) -> np.ndarray:
 def cmd_analyze(args) -> int:
     from lidar_ai_recommendation_software_tpu.config import (
         MODULAR_CONFIG, MONOLITH_CONFIG)
-    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
 
     points = _load(args.cloud)
     cfg = MONOLITH_CONFIG if args.variant == "monolith" else MODULAR_CONFIG
     t0 = time.time()
-    pipe = Pipeline(cfg)
+    if getattr(args, "neural", None) is not None:
+        from lidar_ai_recommendation_software_tpu.neural import (
+            NeuralPipeline)
+        ckpt = None if args.neural == "default" else args.neural
+        pipe = NeuralPipeline(ckpt, config=cfg)
+    else:
+        from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+        pipe = Pipeline(cfg)
     out = pipe.analyze(points)
     dt = time.time() - t0
 
@@ -177,6 +214,41 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    import jax
+
+    from lidar_ai_recommendation_software_tpu.models import train as T
+
+    cfg = T.TrainConfig(
+        batch_size=args.batch_size, n_points=args.points, grid=args.grid,
+        sa1_samples=args.sa1, sa2_samples=args.sa2,
+        learning_rate=args.lr, seed=args.seed, bf16=args.bf16,
+        remat=args.remat, use_pallas=args.pallas)
+    print(f"training CrowdNet on {jax.devices()[0]} "
+          f"({args.steps} steps, batch {cfg.batch_size} x "
+          f"{cfg.n_points} pts, grid {cfg.grid})")
+    t0 = time.time()
+    state, metrics = T.fit(cfg, args.steps)
+    dt = time.time() - t0
+    print(f"trained in {dt:.1f}s "
+          f"({args.steps * cfg.batch_size / dt:.1f} venues/s); "
+          f"final loss {metrics['loss']:.4f}")
+
+    ev = T.evaluate(state.params, cfg, n_venues=args.eval_venues)
+    print(f"held-out: density MAE {ev['density_mae']:.4f} "
+          f"(zero-predictor {ev['density_mae_zero']:.4f}), "
+          f"flow MSE {ev['flow_mse']:.4f}, "
+          f"people count rel-err {ev['people_rel_err']:.1%}")
+
+    T.save_params_npz(args.out, state.params, cfg)
+    print(f"checkpoint      : {args.out}")
+    if args.orbax_dir:
+        import os
+        T.save_checkpoint(os.path.abspath(args.orbax_dir), state)
+        print(f"orbax state     : {args.orbax_dir}")
+    return 0
+
+
 def cmd_analyze_seq(args) -> int:
     from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
 
@@ -231,6 +303,7 @@ def main(argv=None) -> int:
     try:
         return {"analyze": cmd_analyze, "sample": cmd_sample,
                 "bench": cmd_bench, "info": cmd_info,
+                "train": cmd_train,
                 "analyze-seq": cmd_analyze_seq}[args.command](args)
     except FileNotFoundError as e:
         print(f"error: file not found: {e.filename}", file=sys.stderr)

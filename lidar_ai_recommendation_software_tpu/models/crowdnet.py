@@ -152,8 +152,12 @@ class CrowdNet(nn.Module):
             c1, f1, m1)
         h = BEVHead(self.grid, dtype=self.dtype, name="bev")(
             c2, f2, m2, venue_min, venue_size)
+        # bias_init -3: softplus(-3) ~= 0.05 people/m^2 — the typical mean
+        # label — so distillation starts at the no-skill floor instead of
+        # softplus(0) = 0.69 predicted everywhere
         density = nn.softplus(
-            nn.Conv(1, (1, 1), name="density_head")(h))[..., 0]
+            nn.Conv(1, (1, 1), name="density_head",
+                    bias_init=nn.initializers.constant(-3.0))(h))[..., 0]
         flow = nn.Conv(2, (1, 1), name="flow_head")(h)
         congestion = nn.sigmoid(
             nn.Conv(1, (1, 1), name="congestion_head")(h))[..., 0]

@@ -196,6 +196,70 @@ def fit(cfg: TrainConfig, steps: int,
     return state, {k: float(v) for k, v in metrics.items()}
 
 
+# -- evaluation ---------------------------------------------------------------
+
+def evaluate(params, cfg: TrainConfig, n_venues: int = 8,
+             seed: int = 10_000) -> Dict[str, float]:
+    """Held-out metrics: density MAE / flow MSE vs the analytic labels on
+    venues the training stream never saw (seed offset disjoint from
+    ``fit``'s RandomState(cfg.seed) draws), plus the zero-predictor
+    density MAE as the no-skill floor a useful model must beat."""
+    model = make_model(cfg)
+    apply_fn = jax.jit(model.apply)
+    rng = np.random.RandomState(seed)
+    maes, fmses, zeros, people_err = [], [], [], []
+    for _ in range(n_venues):
+        ex = make_batch(rng, cfg)
+        out = apply_fn({"params": params}, jnp.asarray(ex["points"]),
+                       jnp.asarray(ex["mask"]),
+                       jnp.asarray(ex["venue_min"]),
+                       jnp.asarray(ex["venue_size"]))
+        pred = np.asarray(out["density"])
+        maes.append(np.abs(pred - ex["density"]).mean())
+        zeros.append(np.abs(ex["density"]).mean())
+        fmses.append(np.square(
+            np.asarray(out["flow"]) - ex["flow"]).mean())
+        cell_area = (ex["venue_size"] / cfg.grid) ** 2  # (B,)
+        true_n = ex["density"].sum(axis=(1, 2)) * cell_area
+        pred_n = pred.sum(axis=(1, 2)) * cell_area
+        people_err.append(np.abs(pred_n - true_n)
+                          / np.maximum(true_n, 1.0))
+    return {"density_mae": float(np.mean(maes)),
+            "density_mae_zero": float(np.mean(zeros)),
+            "flow_mse": float(np.mean(fmses)),
+            "people_rel_err": float(np.mean(people_err))}
+
+
+# -- portable checkpoint (npz artifact) --------------------------------------
+
+def save_params_npz(path: str, params, cfg: TrainConfig) -> None:
+    """Single-file inference artifact: flattened f32 params + the
+    TrainConfig JSON needed to rebuild the module. Unlike the Orbax
+    train-state checkpoints below (dir trees with opt state, used for
+    resume), this is the shippable serving format (committed as
+    assets/crowdnet_tiny.npz; loaded by NeuralPipeline)."""
+    import json
+
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, params), sep="/")
+    flat = {f"param:{k}": v for k, v in flat.items()}
+    flat["config_json"] = np.asarray(
+        json.dumps(dataclasses.asdict(cfg)))
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> Tuple[Dict, TrainConfig]:
+    import json
+
+    from flax import traverse_util
+    with np.load(path, allow_pickle=False) as z:
+        cfg = TrainConfig(**json.loads(str(z["config_json"])))
+        flat = {tuple(k[len("param:"):].split("/")): z[k]
+                for k in z.files if k.startswith("param:")}
+    return traverse_util.unflatten_dict(flat), cfg
+
+
 # -- checkpointing (Orbax) --------------------------------------------------
 
 def save_checkpoint(path: str, state: TrainState) -> None:

@@ -334,27 +334,23 @@ def _fps_kernel(start_ref, x_ref, y_ref, z_ref, mask_ref, out_ref,
     jax.lax.fori_loop(1, n_samples, body, start_ref[0])
 
 
-def fps(points: jnp.ndarray, mask: jnp.ndarray, n_samples: int,
-        start_index: int = 0) -> jnp.ndarray:
-    """Farthest-point sampling: (N, 3) + mask -> (n_samples,) int32.
-
-    Replaces the sequential KD-tree-free outer loop the reference never
-    had (its whole analytics stack is CPU sklearn); the distance cache and
-    the per-step argmax stay VMEM-resident across all ``n_samples`` steps.
-    """
-    n = points.shape[0]
-    lanes = 128
+def _fps_planes(pts: jnp.ndarray, mask: jnp.ndarray, lanes: int = 128):
+    """(N, 3)/(N,) -> three (rows, lanes) coordinate planes + mask plane."""
+    n = pts.shape[0]
     rows = _round_up(_round_up(n, lanes) // lanes, 8)
     npad = rows * lanes
-    pts = points.astype(jnp.float32)
-    # pad with +big coords so padding never wins the argmax even unmasked
-    pad_val = 0.0
+    pts = pts.astype(jnp.float32)
     planes = [
-        jnp.pad(pts[:, d], (0, npad - n),
-                constant_values=pad_val).reshape(rows, lanes)
+        jnp.pad(pts[:, d], (0, npad - n)).reshape(rows, lanes)
         for d in range(3)]
     mask_f = jnp.pad(mask.astype(jnp.float32),
                      (0, npad - n)).reshape(rows, lanes)
+    return planes, mask_f, rows
+
+
+def _fps_single(points: jnp.ndarray, mask: jnp.ndarray, n_samples: int,
+                start_index: int) -> jnp.ndarray:
+    planes, mask_f, rows = _fps_planes(points, mask)
     start = jnp.asarray([start_index], jnp.int32)
     return pl.pallas_call(
         _fps_kernel,
@@ -367,6 +363,114 @@ def fps(points: jnp.ndarray, mask: jnp.ndarray, n_samples: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
+        interpret=_interpret(),
+    )(start, *planes, mask_f)
+
+
+def _fps_grid_kernel(start_ref, x_ref, y_ref, z_ref, mask_ref, out_ref,
+                     dist_ref):
+    """Batched FPS: grid dim = example; the (B, n_samples) SMEM output
+    block is shared (constant index map) and each program fills its row.
+    Body identical to _fps_kernel with the example's planes delivered as
+    (rows, lanes) blocks."""
+    big = jnp.asarray(3.4e38, jnp.float32)
+    int_max = jnp.iinfo(jnp.int32).max
+    b = pl.program_id(0)
+    r, lanes = x_ref.shape
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0) * lanes
+            + jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1))
+    dist_ref[:] = jnp.full((r, lanes), big, jnp.float32)
+    out_ref[b, 0] = start_ref[0]
+
+    n_samples = out_ref.shape[1]
+    x, y, z = x_ref[:], y_ref[:], z_ref[:]
+    msk = mask_ref[:] > 0
+
+    def body(i, last):
+        sel = flat == last
+        lx = jnp.max(jnp.where(sel, x, -big))
+        ly = jnp.max(jnp.where(sel, y, -big))
+        lz = jnp.max(jnp.where(sel, z, -big))
+        dx = x - lx
+        dy = y - ly
+        dz = z - lz
+        d = dx * dx + dy * dy + dz * dz
+        dmin = jnp.minimum(dist_ref[:], d)
+        dist_ref[:] = dmin
+        masked = jnp.where(msk, dmin, -big)
+        mx = jnp.max(masked)
+        nxt = jnp.min(jnp.where(masked == mx, flat, int_max))
+        out_ref[b, i] = nxt
+        return nxt
+
+    jax.lax.fori_loop(1, n_samples, body, start_ref[0])
+
+
+def _fps_batched(points: jnp.ndarray, mask: jnp.ndarray, n_samples: int,
+                 start_index: int) -> jnp.ndarray:
+    """(B, N, 3) + (B, N) -> (B, n_samples) int32.
+
+    The auto-batched (vmapped) form of the single-example call is illegal
+    on TPU — a 1D SMEM output cannot carry a squeezed batch block — so
+    batching is explicit: one grid step per example, same VMEM-resident
+    distance-cache body (this is also what CrowdNet's lifted vmap lowers
+    to via the custom_vmap rule on ``fps``)."""
+    bsz, n, _ = points.shape
+    lanes = 128
+    rows = _round_up(_round_up(n, lanes) // lanes, 8)
+    npad = rows * lanes
+    pts = points.astype(jnp.float32)
+    planes = [
+        jnp.pad(pts[..., d], ((0, 0), (0, npad - n))
+                ).reshape(bsz, rows, lanes)
+        for d in range(3)]
+    mask_f = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, npad - n))).reshape(bsz, rows, lanes)
+    start = jnp.asarray([start_index], jnp.int32)
+    vspec = pl.BlockSpec((None, rows, lanes), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fps_grid_kernel,
+        grid=(bsz,),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_samples), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec, vspec, vspec, vspec,
+        ],
+        out_specs=pl.BlockSpec((bsz, n_samples), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((rows, lanes), jnp.float32)],
         interpret=_interpret(),
     )(start, *planes, mask_f)
+
+
+def fps(points: jnp.ndarray, mask: jnp.ndarray, n_samples: int,
+        start_index: int = 0) -> jnp.ndarray:
+    """Farthest-point sampling: (N, 3) + mask -> (n_samples,) int32.
+
+    Replaces the sequential KD-tree-free outer loop the reference never
+    had (its whole analytics stack is CPU sklearn); the distance cache and
+    the per-step argmax stay VMEM-resident across all ``n_samples`` steps.
+
+    Also accepts explicitly batched input ((B, N, 3) + (B, N) ->
+    (B, n_samples)), and carries a custom_vmap rule so ``jax.vmap`` /
+    flax lifted vmap route to the batched grid kernel instead of the
+    (TPU-illegal) auto-batched lowering.
+    """
+    if points.ndim == 3:
+        return _fps_batched(points, mask, n_samples, start_index)
+
+    @jax.custom_batching.custom_vmap
+    def _call(p, m):
+        return _fps_single(p, m, n_samples, start_index)
+
+    @_call.def_vmap
+    def _rule(axis_size, in_batched, p, m):  # noqa: ANN001
+        if not in_batched[0]:
+            p = jnp.broadcast_to(p[None], (axis_size,) + p.shape)
+        if not in_batched[1]:
+            m = jnp.broadcast_to(m[None], (axis_size,) + m.shape)
+        return _fps_batched(p, m, n_samples, start_index), True
+
+    return _call(points, mask)

@@ -104,3 +104,19 @@ class TestFPS:
         mask = jnp.ones(128, bool)
         sel = np.asarray(K.fps(pts, mask, 4))
         assert 0 in sel and 127 in sel
+
+    def test_batched_and_vmap_match_single(self):
+        # auto-vmap of the 1D-SMEM-output kernel is illegal on TPU; the
+        # custom_vmap rule must route to the batched grid kernel with
+        # identical selections (this is the path CrowdNet's lifted vmap
+        # takes in training/serving)
+        rng = np.random.RandomState(3)
+        pts = jnp.asarray(rng.uniform(-5, 5, (4, 300, 3)), jnp.float32)
+        mask = jnp.asarray(rng.rand(4, 300) > 0.15)
+        singles = np.stack(
+            [np.asarray(K.fps(pts[i], mask[i], 24)) for i in range(4)])
+        batched = np.asarray(K.fps(pts, mask, 24))
+        vmapped = np.asarray(jax.jit(
+            jax.vmap(lambda p, m: K.fps(p, m, 24)))(pts, mask))
+        np.testing.assert_array_equal(singles, batched)
+        np.testing.assert_array_equal(singles, vmapped)
