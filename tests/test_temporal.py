@@ -96,6 +96,116 @@ def test_multi_frame_averages_all_pairs():
                                pair["flow_vectors"]["vectors"])
 
 
+def _run_multi(frames_xy, masks=None, cap=64, dt=1.0, lo=-14.0, hi=14.0):
+    import jax
+    seq = []
+    for t, xy in enumerate(frames_xy):
+        p = _people(xy, cap)
+        if masks is not None:
+            m = np.zeros(cap, bool)
+            m[:len(xy)] = masks[t]
+            p = People(positions=p.positions, mask=jnp.asarray(m), z=p.z)
+        seq.append(p)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *seq)
+    return temporal.temporal_flow_multi(
+        stacked, dt, jnp.asarray([lo, lo], jnp.float32),
+        jnp.asarray([hi, hi], jnp.float32), MONOLITH_CONFIG).to_host_dict()
+
+
+def test_crossing_pedestrian_lanes():
+    """Two opposing lanes 0.6 m apart (closer than the 1 m per-frame
+    displacement, so raw NN matches cross lanes): the consistency filter
+    must keep only samples that agree with the true lane velocity, never
+    blended/reversed identity-swap artifacts."""
+    n_lane = 8
+    xs = np.linspace(-10, 4, n_lane)
+    frames = []
+    for t in range(6):
+        a = np.stack([xs + 1.0 * t, np.full(n_lane, +0.3)], 1)   # +x lane
+        b = np.stack([-xs - 1.0 * t, np.full(n_lane, -0.3)], 1)  # -x lane
+        frames.append(np.concatenate([a, b]))
+    d = _run_multi(frames)
+    vec = d["flow_vectors"]["vectors"]
+    mag = np.linalg.norm(vec, axis=1)
+    live = mag > 0.05
+    assert live.any()
+    # every surviving node vector is a clean lane velocity: |vx| ~ 1,
+    # vy ~ 0 (swaps between opposing lanes would leave vy or reversed
+    # blends of magnitude << 1)
+    assert np.all(np.abs(np.abs(vec[live, 0]) - 1.0) < 0.15), vec[live]
+    assert np.all(np.abs(vec[live, 1]) < 0.15)
+    # cosine vs the lane truth at each node (sign of y picks the lane);
+    # the y=0 node row sits 0.3 m from BOTH lanes and legitimately
+    # carries either sign, so only unambiguous rows are scored
+    pos = d["flow_vectors"]["positions"][live]
+    sided = np.abs(pos[:, 1]) >= 0.5
+    assert sided.any()
+    truth = np.stack([np.where(pos[sided, 1] > 0, 1.0, -1.0),
+                      np.zeros(int(sided.sum()))], 1)
+    unit = vec[live][sided] / mag[live][sided, None]
+    cos = np.mean(np.sum(unit * truth, axis=1))
+    assert cos > 0.95, cos
+
+
+def test_entry_exit_mid_sequence():
+    """People entering or leaving between frames must contribute no
+    spurious velocity samples (an entrant has no previous identity; a
+    leaver has no current one)."""
+    rng = np.random.RandomState(3)
+    base = rng.uniform(-8, 8, (12, 2))
+    vel = np.array([0.7, 0.0])
+    frames, masks = [], []
+    for t in range(5):
+        frames.append(base + vel * t)
+        m = np.ones(12, bool)
+        if t >= 2:
+            m[0] = False           # person 0 exits after frame 1
+        if t < 3:
+            m[11] = False          # person 11 enters at frame 3
+        masks.append(m)
+    d = _run_multi(frames, masks)
+    vec = d["flow_vectors"]["vectors"]
+    mag = np.linalg.norm(vec, axis=1)
+    live = mag > 0.05
+    assert live.any()
+    np.testing.assert_allclose(vec[live, 0], 0.7, atol=0.1)
+    np.testing.assert_allclose(vec[live, 1], 0.0, atol=0.1)
+    assert d["dominant_direction"] == "E"
+
+
+def test_merge_split_event():
+    """Two people walking toward each other merge into one cluster for a
+    frame, then split. The merge/split identity jumps inject O(1 m/s)
+    outliers the consistency filter must reject — surviving node speeds
+    stay at the true 0.4 m/s scale."""
+    # P walks +y at 0.4, Q walks -y at 0.4; they coincide at t=2 (merged:
+    # one centroid) and separate again. A static far-away crowd keeps the
+    # field populated.
+    rng = np.random.RandomState(4)
+    bg = rng.uniform(5, 12, (6, 2))
+    frames, masks = [], []
+    for t in range(5):
+        py = -0.8 + 0.4 * t
+        qy = +0.8 - 0.4 * t
+        if abs(py - qy) < 1e-6:    # merged frame: single centroid
+            ppl = np.array([[0.0, py]])
+        else:
+            ppl = np.array([[0.0, py], [0.0, qy]])
+        drift = np.tile([0.4, 0.0], (len(bg), 1)) * t
+        frames.append(np.concatenate([ppl, bg + drift]))
+        m = np.ones(len(frames[-1]), bool)
+        masks.append(m)
+    d = _run_multi(frames, masks)
+    vec = d["flow_vectors"]["vectors"]
+    mag = np.linalg.norm(vec, axis=1)
+    live = mag > 0.05
+    assert live.any()
+    # no identity-swap artifact survives: the largest node speed stays at
+    # the true walking scale (a swap would register ~1.6 m/s: the 2*0.8 m
+    # jump across the merge in one frame)
+    assert mag[live].max() < 0.6, mag[live].max()
+
+
 def test_analyze_sequence_uses_all_frames():
     """Pipeline.analyze_sequence tracks the whole sequence (not just the
     last pair) and measures the generator's known motion."""
