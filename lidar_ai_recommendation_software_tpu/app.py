@@ -28,7 +28,7 @@ except ImportError:  # pragma: no cover - exercised only without streamlit
     HAVE_STREAMLIT = False
 
 
-def main():  # pragma: no cover - UI glue, manually driven
+def main():  # driven by tests/test_app_lifecycle.py via a scripted fake
     if not HAVE_STREAMLIT:
         raise SystemExit(
             "streamlit is not installed; use the CLI front-end instead: "
@@ -95,18 +95,24 @@ def main():  # pragma: no cover - UI glue, manually driven
         up = st.file_uploader(
             "Point cloud file",
             type=["csv", "xyz", "txt", "npy", "pcd", "ply", "las"])
-        loaded = False
+        token = None  # identifies the *upload action*, not the rerun
         if use_sample:
             ss.points = sample_venue()
             st.success(f"sample venue loaded: {len(ss.points):,} points")
-            loaded = True
+            token = "sample"
         elif up is not None:
             fmt = up.name.rsplit(".", 1)[-1]
             ss.points = pio.load_points(up.read(), fmt=fmt)
             st.success(f"{up.name}: {len(ss.points):,} points")
-            loaded = True
-        if loaded and autosave:
-            ss.analysis_id = None  # new upload -> new analysis row
+            token = f"file:{up.name}:{len(ss.points)}"
+        if token is None:
+            ss.pop("upload_token", None)  # re-check/re-upload = new action
+        elif autosave and ss.get("upload_token") != token:
+            # one analysis row per upload action (app_with_db.py:1058),
+            # not one per streamlit rerun
+            ss.upload_token = token
+            ss.analysis_id = None
+            ss.recs_saved = False
             ensure_analysis()
             st.caption(f"analysis #{ss.analysis_id} created in {db_path}")
 
