@@ -152,6 +152,11 @@ class CapacityConfig:
                                      # pipeline auto-doubles on overflow)
     # label propagation
     max_cc_iters: int = 40           # connected-components sweep cap
+    # coarse-bucketed people-radius count (ops/bucket_density.py): max
+    # people per radius-sized coarse cell. Engaged when cells x people
+    # pair-tests pass BUCKETED_MIN_PAIRS; the pipeline auto-doubles on
+    # overflow (exactness guard, same contract as cluster_column_cap).
+    density_bucket_cap: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,8 +11,10 @@ the MXU:
 
   points (N,3) -> SA1 (FPS 2048, r=0.4, K=32, MLP 32-32-64)
               -> SA2 (FPS 512,  r=1.0, K=32, MLP 64-64-128)
-              -> BEV scatter-mean (G x G x 128)
-              -> 3x conv3x3 trunk
+              -> BEV scatter-mean of SA1 + SA2 levels
+                 ++ raw-point pillar stats (log-count, mean z, max z)
+                 ++ coordinate channels (absolute + venue-relative)
+              -> conv3x3 trunk
               -> heads: density (G,G) people/m^2 [softplus],
                         flow (G,G,2) m/s,
                         congestion (G,G) 0-1 [sigmoid]
@@ -100,33 +102,83 @@ class SetAbstraction(nn.Module):
         return centroids, pooled, cmask
 
 
+def _bev_cells(xy, m, g, venue_min, venue_size):
+    rel = (xy - venue_min[None, :]) / venue_size
+    cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
+    return jnp.where(m, cell[:, 0] * g + cell[:, 1], g * g)
+
+
+def _scatter_mean(xy, feats, m, g, venue_min, venue_size):
+    """Masked per-cell feature means + counts, (G*G, C) and (G*G,)."""
+    flat = _bev_cells(xy, m, g, venue_min, venue_size)
+    ones = m.astype(feats.dtype)
+    sums = jax.ops.segment_sum(feats * ones[:, None], flat,
+                               num_segments=g * g + 1)[:-1]
+    cnts = jax.ops.segment_sum(ones, flat,
+                               num_segments=g * g + 1)[:-1]
+    return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
+
+
 class BEVHead(nn.Module):
-    """Scatter point features onto a BEV grid and run a conv trunk."""
+    """Pillarised BEV trunk over three evidence streams.
+
+    Raw-point pillar statistics (log-count, mean z, max z — the
+    PointPillars-style hand features that make per-cell density directly
+    learnable), multi-scale scattered SA features (SA1 fine + SA2
+    context), and coordinate channels (absolute metres + venue-relative)
+    so position-dependent targets like the exit-directed flow field are
+    expressible by a translation-equivariant conv stack."""
 
     grid: int
     channels: Sequence[int] = (128, 64)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, centroids, features, cmask, venue_min, venue_size):
+    def __call__(self, levels, points, mask, venue_min, venue_size):
         g = self.grid
-        rel = (centroids[:, :2] - venue_min[None, :]) / venue_size
-        cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
-        flat = jnp.where(cmask, cell[:, 0] * g + cell[:, 1], g * g)
-        ones = cmask.astype(features.dtype)
-        sums = jax.ops.segment_sum(features * ones[:, None], flat,
-                                   num_segments=g * g + 1)[:-1]
-        cnts = jax.ops.segment_sum(ones, flat,
-                                   num_segments=g * g + 1)[:-1]
-        bev = sums / jnp.maximum(cnts, 1.0)[:, None]
-        bev = bev.reshape(g, g, -1)
-        occupancy = (cnts > 0).astype(bev.dtype).reshape(g, g, 1)
-        h = jnp.concatenate([bev, occupancy], axis=-1)
+        planes = []
+        for centroids, features, cmask in levels:
+            bev, cnts = _scatter_mean(centroids[:, :2], features, cmask,
+                                      g, venue_min, venue_size)
+            planes.append(bev.reshape(g, g, -1))
+            planes.append((cnts > 0).astype(bev.dtype).reshape(g, g, 1))
 
+        # raw-point pillar stats
+        z = points[:, 2:3]
+        flat = _bev_cells(points[:, :2], mask, g, venue_min, venue_size)
+        ones = mask.astype(z.dtype)
+        cnt = jax.ops.segment_sum(ones, flat,
+                                  num_segments=g * g + 1)[:-1]
+        zsum = jax.ops.segment_sum(z[:, 0] * ones, flat,
+                                   num_segments=g * g + 1)[:-1]
+        zmax = jax.ops.segment_max(
+            jnp.where(mask, z[:, 0], -jnp.inf), flat,
+            num_segments=g * g + 1)[:-1]
+        live = cnt > 0
+        pillar = jnp.stack(
+            [jnp.log1p(cnt),
+             jnp.where(live, zsum / jnp.maximum(cnt, 1.0), 0.0),
+             jnp.where(live, zmax, 0.0)], axis=-1).reshape(g, g, 3)
+        planes.append(pillar)
+
+        # coordinate channels: absolute metres (/20) + venue-relative 0-1
+        ix = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+        rx, ry = jnp.meshgrid(ix, ix, indexing="ij")
+        cellw = venue_size / g
+        ax = (venue_min[0] + rx * g * cellw) * 0.05
+        ay = (venue_min[1] + ry * g * cellw) * 0.05
+        coords = jnp.stack([rx, ry, ax, ay], axis=-1)
+        planes.append(coords)
+
+        h = jnp.concatenate(planes, axis=-1)
         for ch in self.channels:
             h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
             h = nn.relu(h)
-        return h.astype(jnp.float32)
+        # skip: heads read the pillar evidence and coordinates directly
+        # (the conv trunk blurs exactly the per-cell spikes the density
+        # head must reproduce)
+        return jnp.concatenate(
+            [h.astype(jnp.float32), pillar, coords], axis=-1)
 
 
 class CrowdNet(nn.Module):
@@ -151,16 +203,24 @@ class CrowdNet(nn.Module):
                         use_pallas=self.use_pallas, name="sa2")(
             c1, f1, m1)
         h = BEVHead(self.grid, dtype=self.dtype, name="bev")(
-            c2, f2, m2, venue_min, venue_size)
-        # bias_init -3: softplus(-3) ~= 0.05 people/m^2 — the typical mean
-        # label — so distillation starts at the no-skill floor instead of
+            [(c1, f1, m1), (c2, f2, m2)], points, mask,
+            venue_min, venue_size)
+        # per-cell (1x1) two-layer heads: the hidden layer lets each head
+        # threshold the skip-connected pillar stats nonlinearly (e.g.
+        # "person cell iff zmax > ~0.5 and count high"). bias_init -3:
+        # softplus(-3) ~= 0.05 people/m^2 — the typical mean label — so
+        # distillation starts at the no-skill floor instead of
         # softplus(0) = 0.69 predicted everywhere
-        density = nn.softplus(
-            nn.Conv(1, (1, 1), name="density_head",
-                    bias_init=nn.initializers.constant(-3.0))(h))[..., 0]
-        flow = nn.Conv(2, (1, 1), name="flow_head")(h)
-        congestion = nn.sigmoid(
-            nn.Conv(1, (1, 1), name="congestion_head")(h))[..., 0]
+        def head(name, ch):
+            hid = nn.relu(nn.Conv(32, (1, 1), name=f"{name}_hidden")(h))
+            return nn.Conv(ch, (1, 1), name=name,
+                           bias_init=nn.initializers.constant(
+                               -3.0 if name == "density_head" else 0.0)
+                           )(hid)
+
+        density = nn.softplus(head("density_head", 1))[..., 0]
+        flow = head("flow_head", 2)
+        congestion = nn.sigmoid(head("congestion_head", 1))[..., 0]
         return {"density": density, "flow": flow,
                 "congestion": congestion}
 

@@ -42,16 +42,34 @@ def _arange_len(start, stop, step):
     return jnp.maximum(jnp.ceil((stop - start) / step), 0.0).astype(jnp.int32)
 
 
+# Engage the coarse-bucketed radius count above this many cell x people
+# pair tests: brute force (jnp or the Pallas tiles) is all-VPU with zero
+# gathers, so it WINS below the crossover despite the asymptotic gap,
+# while at venue scale (921k cells x 450k people ~ 4e11 pairs, ~0.9 s on
+# a v5e) the 9 * bucket_cap * cells formulation is ~1000x less work.
+BUCKETED_MIN_PAIRS = 1 << 32
+
+
 def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
                       gy_cap: int, grid_size: float, radius: float,
-                      chunk: int = 512) -> jnp.ndarray:
+                      chunk: int = 512, bucket_cap: int = 0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """people-within-radius count per cell centre, x-major grid (GX, GY).
+
+    Returns (counts, overflow): overflow is the number of people DROPPED
+    because a coarse bucket exceeded ``bucket_cap`` (0 on the brute
+    paths, which are always exact) — the pipeline doubles the cap and
+    re-runs, the same exactness contract as the clustering column cap.
 
     Cell (i, j) centre = origin + (i+0.5, j+0.5)*grid_size. Brute-force over
     the padded people set — K is small (<= capacity), so this is a dense
     (chunk, K) masked reduction per cell chunk; the Pallas kernel variant
     tiles the same computation through VMEM (``radius_count`` in
-    ops/pallas/kernels.py).
+    ops/pallas/kernels.py). Above BUCKETED_MIN_PAIRS pair tests (and with
+    ``bucket_cap`` > 0) people are bucketed once into a radius-sized
+    coarse grid and every cell reads its 3x3 neighborhood
+    (ops/bucket_density.py) — bit-identical counts, ~1000x less work at
+    venue scale.
 
     The backend/env dispatch below is intentionally trace-time: capacity
     params are static, so the chosen branch is baked into the compiled
@@ -62,6 +80,18 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
     k = people.positions.shape[0]
     g = jnp.asarray(grid_size, people.positions.dtype)
     r2 = jnp.asarray(radius, people.positions.dtype) ** 2
+    zero = jnp.asarray(0, jnp.int32)
+
+    if bucket_cap > 0 and gx_cap * gy_cap * k >= BUCKETED_MIN_PAIRS:
+        from lidar_ai_recommendation_software_tpu.ops import (
+            bucket_density)
+        counts, overflow = bucket_density.radius_count_bucketed(
+            people.positions, people.mask, origin, gx_cap, gy_cap,
+            grid_size, radius, bucket_cap)
+        ci = jnp.arange(gx_cap, dtype=jnp.int32)[:, None]
+        cj = jnp.arange(gy_cap, dtype=jnp.int32)[None, :]
+        cell_valid = (ci < nx) & (cj < ny)
+        return jnp.where(cell_valid, counts, 0), overflow
 
     total = gx_cap * gy_cap
     flat = jnp.arange(total, dtype=jnp.int32)
@@ -88,7 +118,7 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
             kernels as pk)
         counts = pk.radius_count(centers, ppl, pmask, radius)
         counts = jnp.where(cell_valid, counts, 0)
-        return counts.reshape(gx_cap, gy_cap)
+        return counts.reshape(gx_cap, gy_cap), zero
 
     def chunk_fn(args):
         c, cv = args
@@ -103,7 +133,7 @@ def radius_count_grid(people: People, origin, nx, ny, gx_cap: int,
     counts = jax.lax.map(
         chunk_fn, (centers_p.reshape(steps, chunk, 2),
                    cv_p.reshape(steps, chunk)))
-    return counts.reshape(-1)[:total].reshape(gx_cap, gy_cap)
+    return counts.reshape(-1)[:total].reshape(gx_cap, gy_cap), zero
 
 
 def histogram_grid(people: People, origin, nx, ny, gx_cap: int, gy_cap: int,
@@ -170,9 +200,10 @@ def analyze_density(processed: ProcessedCloud, people: People,
         nx = jnp.clip(_arange_len(x0, x1 + g, g) - 1, 1, cap.grid_cells_x)
         ny = jnp.clip(_arange_len(y0, y1 + g, g) - 1, 1, cap.grid_cells_y)
         origin = jnp.stack([x0, y0])
-        grid = radius_count_grid(
+        grid, radius_overflow = radius_count_grid(
             people, origin, nx, ny, cap.grid_cells_x, cap.grid_cells_y,
-            dc.grid_size, dc.radius).astype(g.dtype) / dc.radius_area
+            dc.grid_size, dc.radius, bucket_cap=cap.density_bucket_cap)
+        grid = grid.astype(g.dtype) / dc.radius_area
         y_major = True
     else:
         # Modular histogram path with 2-cell margin
@@ -186,6 +217,7 @@ def analyze_density(processed: ProcessedCloud, people: People,
         origin = jnp.stack([ox, oy])
         grid = histogram_grid(people, origin, nx, ny, cap.grid_cells_x,
                               cap.grid_cells_y, dc.grid_size) / (g * g)
+        radius_overflow = jnp.asarray(0, jnp.int32)
         y_major = False
 
     ci = jnp.arange(cap.grid_cells_x)
@@ -220,4 +252,4 @@ def analyze_density(processed: ProcessedCloud, people: People,
         density_grid=jnp.where(empty, jnp.zeros_like(grid), grid),
         origin=origin, nx=nx, ny=ny,
         hotspot_xy=hxy, hotspot_density=jnp.where(hmask & ~empty, hdens, 0.0),
-        hotspot_mask=hmask & ~empty)
+        hotspot_mask=hmask & ~empty, radius_overflow=radius_overflow)

@@ -100,31 +100,45 @@ def radius_count_bucketed(xy: jnp.ndarray, mask: jnp.ndarray, origin,
     cyp = tx.shape[2]
 
     g = jnp.asarray(grid_size, jnp.float32)
-    cxv = (origin[0] + (jnp.arange(gx_cap, dtype=jnp.float32) + 0.5) * g
-           )[:, None]                                       # (GX, 1)
-    cyv = (origin[1] + (jnp.arange(gy_cap, dtype=jnp.float32) + 0.5) * g
-           )[None, :]                                       # (1, GY)
     r2 = jnp.asarray(radius, jnp.float32) ** 2
 
-    def body(p, acc):
-        txp = jax.lax.dynamic_index_in_dim(tx, p, 0, keepdims=False)
-        typ = jax.lax.dynamic_index_in_dim(ty, p, 0, keepdims=False)
-        for di in (-1, 0, 1):
-            for dj in (-1, 0, 1):
-                sx = jax.lax.slice(txp, (1 + di, 1 + dj),
-                                   (1 + di + cxc, 1 + dj + cyc))
-                sy = jax.lax.slice(typ, (1 + di, 1 + dj),
-                                   (1 + di + cxc, 1 + dj + cyc))
-                # coarse -> fine: fine cell i reads coarse i // s
-                ux = jnp.repeat(sx, s, axis=0)[:gx_cap]
-                ux = jnp.repeat(ux, s, axis=1)[:, :gy_cap]
-                uy = jnp.repeat(sy, s, axis=0)[:gx_cap]
-                uy = jnp.repeat(uy, s, axis=1)[:, :gy_cap]
-                dx = ux - cxv
-                dy = uy - cyv
-                acc = acc + ((dx * dx + dy * dy) <= r2).astype(jnp.int32)
-        return acc
+    # Fine-cell centres in the coarse-decomposed (I, u) layout: fine cell
+    # index I*s + u, centre = origin + (idx + 0.5) * g — the SAME f32
+    # expression as the brute paths, so counts bit-match. Padded fine
+    # cells past gx_cap are sliced off at the end.
+    fxi = jnp.arange(cxc * s, dtype=jnp.float32).reshape(cxc, s)
+    fyi = jnp.arange(cyc * s, dtype=jnp.float32).reshape(cyc, s)
+    fx = origin[0] + (fxi + 0.5) * g                        # (CXC, s)
+    fy = origin[1] + (fyi + 0.5) * g                        # (CYC, s)
 
-    counts = jax.lax.fori_loop(
-        0, bucket_cap, body, jnp.zeros((gx_cap, gy_cap), jnp.int32))
-    return counts, overflow
+    # s^2 x 9 statically-unrolled terms, each one fused (P, CXC, CYC)
+    # compare-reduce over the slot axis — every operand keeps the lane
+    # dimension = CYC (~venue/coarse), the TPU-native layout. The naive
+    # alternatives are compile-time disasters measured at venue shapes:
+    # a fori_loop body of repeats stalls the XLA:TPU loop optimizer for
+    # 201 s (the pathology ops/clustering.py documents for the CCL bit
+    # loop), and a 5-D (P, CXC, s, CYC, s) broadcast puts lane = s = 2,
+    # padding every (8, 128) tile 64x (527 s compile, 10x slower run).
+    planes = []
+    for u in range(s):
+        for v in range(s):
+            acc = jnp.zeros((cxc, cyc), jnp.int32)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    sx = jax.lax.slice(
+                        tx, (0, 1 + di, 1 + dj),
+                        (bucket_cap, 1 + di + cxc, 1 + dj + cyc))
+                    sy = jax.lax.slice(
+                        ty, (0, 1 + di, 1 + dj),
+                        (bucket_cap, 1 + di + cxc, 1 + dj + cyc))
+                    dx = sx - fx[None, :, u, None]   # (P, CXC, CYC)
+                    dy = sy - fy[None, None, :, v]
+                    acc = acc + jnp.sum(
+                        (dx * dx + dy * dy <= r2).astype(jnp.int32),
+                        axis=0)
+            planes.append(acc)
+
+    # (s*s, CXC, CYC) -> (CXC, s, CYC, s) -> fine grid
+    stack = jnp.stack(planes).reshape(s, s, cxc, cyc)
+    counts = stack.transpose(2, 0, 3, 1).reshape(cxc * s, cyc * s)
+    return counts[:gx_cap, :gy_cap], overflow

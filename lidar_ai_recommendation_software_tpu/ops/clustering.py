@@ -146,20 +146,38 @@ def dbscan_bruteforce(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
 # column grid's O(n * cap^2) dominates O(n^2).
 BRUTEFORCE_MAX_POINTS = 32768
 
+# Hard capacity of the brute-force backend when it is the ONLY exact
+# option (macroscopic eps, see dbscan_labels): the packed adjacency is
+# cap^2/8 bytes — 2.1 GB HBM at 131072. This also tracks the reference's
+# own feasibility wall: sklearn DBSCAN at eps=0.5 in standardized space
+# materialises ~cap^2 * pi eps^2 / venue-area neighbor int64s (~10 GB at
+# 131k, MemoryError well before 1M), so capability parity holds.
+BRUTEFORCE_HARD_CAP = 131072
+
 
 def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
                   min_samples: int, ncx: int = 128, ncy: int = 128,
-                  column_cap: int = 64,
-                  max_iters: int = 40) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                jnp.ndarray]:
+                  column_cap: int = 64, max_iters: int = 40,
+                  brute_cap: int = BRUTEFORCE_MAX_POINTS
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
     """Cluster padded ``points`` (N, D). Returns (labels (N,) int32 with
     -1 noise / dense cluster ids, n_clusters (), overflow () int32 —
     points dropped because a column exceeded ``column_cap``; 0 means the
     result is exact). Dispatches on static capacity: tiled all-pairs for
     small sets; at venue scale the Pallas Gauss-Seidel CCL on TPU
     (ops/ccl.py — 13.5x the jnp column path at 1M points) or the jnp
-    column grid elsewhere (``LIDAR_JNP_CCL=1`` forces the jnp path)."""
-    if points.shape[0] <= BRUTEFORCE_MAX_POINTS:
+    column grid elsewhere (``LIDAR_JNP_CCL=1`` forces the jnp path).
+
+    ``brute_cap`` raises the all-pairs dispatch ceiling. The modular
+    variant clusters StandardScaler-warped space where eps = 0.5 sigma is
+    MACROSCOPIC — the venue spans ~7 eps per axis, so every eps-sized
+    column holds O(n/49) points and the dense column tables degenerate
+    (a measured cap means a (cap, NCX, NCY) table in the hundreds of GB).
+    The packed-bitmask brute force is exact in any scaling and is the
+    only exact backend there; callers in that regime pass
+    ``brute_cap=BRUTEFORCE_HARD_CAP``."""
+    if points.shape[0] <= max(brute_cap, BRUTEFORCE_MAX_POINTS):
         return dbscan_bruteforce(points, mask, eps, min_samples,
                                  max_iters=max_iters)
     import os

@@ -188,6 +188,37 @@ class Pipeline:
     # reported coordinates back on the host.
     RECENTER_THRESHOLD = 4096.0
 
+    def _grown_cluster_cfg(self, cfg: PipelineConfig
+                           ) -> Optional[PipelineConfig]:
+        """Double the clustering capacities after an overflow. Returns
+        None when both knobs sit at their ceiling — column cap 512 and a
+        buffer at max_points, or at the brute-force HBM wall for the
+        modular variant (BRUTEFORCE_HARD_CAP: eps = 0.5 sigma in
+        standardized space admits no exact spatial decomposition, and
+        the packed adjacency is cap^2/8 bytes)."""
+        from lidar_ai_recommendation_software_tpu.ops import clustering
+        cap_limit = cfg.capacity.max_points
+        if self.config.preprocess.variant == "modular":
+            cap_limit = min(cap_limit, clustering.BRUTEFORCE_HARD_CAP)
+        if (cfg.capacity.cluster_column_cap >= 512
+                and cfg.capacity.cluster_capacity >= cap_limit):
+            return None
+        return cfg.with_capacity(
+            cluster_column_cap=min(512,
+                                   cfg.capacity.cluster_column_cap * 2),
+            cluster_capacity=min(cap_limit,
+                                 max(1, cfg.capacity.cluster_capacity)
+                                 * 2))
+
+    _OVERFLOW_MSG = (
+        "clustering overflowed its exact-capacity ceiling ({n} points "
+        "dropped). The modular variant clusters StandardScaler-warped "
+        "space where eps=0.5 is macroscopic, so only the O(n^2) packed "
+        "brute force is exact and it is HBM-bounded at 131072 non-ground "
+        "points (the reference's sklearn path hits MemoryError at the "
+        "same scale, utils/data_processing.py:197). Downsample first "
+        "(ops/sampling.random_downsample) or use the monolith variant.")
+
     def analyze(self, points: np.ndarray) -> Dict:
         """NumPy points in, reference-shaped result dicts out."""
         points = np.asarray(points, dtype=np.float64)[:, :3]
@@ -202,16 +233,12 @@ class Pipeline:
         # Exactness guard: if clustering overflowed a static capacity
         # (column cap or the compacted buffer), grow and re-run — keeps
         # DBSCAN parity on adversarial scenes at the cost of a recompile.
-        while (int(processed.cluster_overflow) > 0
-               and (cfg.capacity.cluster_column_cap < 512
-                    or cfg.capacity.cluster_capacity
-                    < cfg.capacity.max_points)):
-            cfg = cfg.with_capacity(
-                cluster_column_cap=min(
-                    512, cfg.capacity.cluster_column_cap * 2),
-                cluster_capacity=min(
-                    cfg.capacity.max_points,
-                    max(1, cfg.capacity.cluster_capacity) * 2))
+        while int(processed.cluster_overflow) > 0:
+            grown = self._grown_cluster_cfg(cfg)
+            if grown is None:
+                raise RuntimeError(self._OVERFLOW_MSG.format(
+                    n=int(processed.cluster_overflow)))
+            cfg = grown
             processed, people, res = self.analyze_device(cloud, cfg)
         # People-capacity guard: cluster ids past max_people are dropped
         # from the segment sums (people.overflow counts them) — a dense
@@ -224,6 +251,15 @@ class Pipeline:
             need = cfg.capacity.max_people + int(people.overflow)
             cfg = cfg.with_capacity(
                 max_people=1 << max(1, (need - 1).bit_length()))
+            processed, people, res = self.analyze_device(cloud, cfg)
+        # Bucketed radius-count guard: a coarse bucket past
+        # density_bucket_cap drops people from the density grid
+        # (ops/bucket_density.py counts them); double the cap and re-run
+        # — terminates because cap >= max_people holds everyone.
+        while int(res.density.radius_overflow) > 0:
+            cfg = cfg.with_capacity(density_bucket_cap=min(
+                cfg.capacity.max_people,
+                cfg.capacity.density_bucket_cap * 2))
             processed, people, res = self.analyze_device(cloud, cfg)
         density_results = res.density.to_host_dict()
         flow_results = res.flow.to_host_dict()
@@ -290,16 +326,12 @@ class Pipeline:
             proc, ppl = people_of_cloud(cloud, cfg)
             # same exactness guards as analyze(): grow capacities on
             # overflow instead of silently dropping clusters
-            while (int(proc.cluster_overflow) > 0
-                   and (cfg.capacity.cluster_column_cap < 512
-                        or cfg.capacity.cluster_capacity
-                        < cfg.capacity.max_points)):
-                cfg = cfg.with_capacity(
-                    cluster_column_cap=min(
-                        512, cfg.capacity.cluster_column_cap * 2),
-                    cluster_capacity=min(
-                        cfg.capacity.max_points,
-                        max(1, cfg.capacity.cluster_capacity) * 2))
+            while int(proc.cluster_overflow) > 0:
+                grown = self._grown_cluster_cfg(cfg)
+                if grown is None:
+                    raise RuntimeError(self._OVERFLOW_MSG.format(
+                        n=int(proc.cluster_overflow)))
+                cfg = grown
                 proc, ppl = people_of_cloud(cloud, cfg)
             while int(ppl.overflow) > 0:
                 need = cfg.capacity.max_people + int(ppl.overflow)

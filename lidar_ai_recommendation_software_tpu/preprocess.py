@@ -135,6 +135,13 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
     # min-point-index cluster representatives are preserved.
     ccap = min(cap.cluster_capacity or cloud.points.shape[0],
                cloud.points.shape[0])
+    if pc.variant == "modular":
+        # eps = 0.5 sigma is macroscopic in standardized space, so the
+        # eps-column grid degenerates (see dbscan_labels); the packed
+        # brute force is the only exact backend and bounds the capacity.
+        # Points past the clamp surface in the overflow diagnostic; the
+        # pipeline raises rather than return a silently-wrong census.
+        ccap = min(ccap, clustering.BRUTEFORCE_HARD_CAP)
     if ccap < cloud.points.shape[0]:
         order = jnp.argsort(~non_ground, stable=True).astype(jnp.int32)
         inv_order = jnp.zeros_like(order).at[order].set(
@@ -155,7 +162,10 @@ def preprocess(cloud: PointCloud, config: PipelineConfig) -> ProcessedCloud:
     labels_c, n_clusters, overflow = clustering.dbscan_labels(
         compact_pts, compact_mask, eps, pc.dbscan_min_samples,
         ncx=cap.cluster_cells_x, ncy=cap.cluster_cells_y,
-        column_cap=cap.cluster_column_cap, max_iters=cap.max_cc_iters)
+        column_cap=cap.cluster_column_cap, max_iters=cap.max_cc_iters,
+        brute_cap=(clustering.BRUTEFORCE_HARD_CAP
+                   if pc.variant == "modular"
+                   else clustering.BRUTEFORCE_MAX_POINTS))
     overflow = overflow + compact_overflow
 
     # back to full point order

@@ -148,6 +148,10 @@ class DensityResults:
     hotspot_xy: Array        # (H, 2) hotspot cell-centre xy
     hotspot_density: Array   # (H,)  hotspot densities (desc)
     hotspot_mask: Array      # (H,)  valid hotspots
+    radius_overflow: Array = 0  # () int32 people dropped by the bucketed
+    #                             radius count (0 = grid exact); the
+    #                             pipeline doubles density_bucket_cap and
+    #                             re-runs on overflow
 
     def to_host_dict(self) -> Dict[str, Any]:
         """Reference-shaped results dict (crowd_density_model.py:88-96)."""

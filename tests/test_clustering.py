@@ -139,3 +139,99 @@ def test_dbscan_gs_matches_columns_and_sklearn():
     sk = DBSCAN(eps=0.35, min_samples=5).fit(pts).labels_
     assert int(k_gs) == sk.max() + 1
     assert _census(np.asarray(lab_gs)[:n], pts) == _census(sk, pts)
+
+
+def _modular_scale(pts):
+    """The modular variant's StandardScaler warp (preprocess.py:115-126):
+    per-axis masked standardisation of the clustering inputs."""
+    mu = pts.mean(axis=0)
+    sd = np.maximum(pts.std(axis=0), 1e-12)
+    return ((pts - mu) / sd).astype(np.float32)
+
+
+def _blob_venue(n, n_blobs, extent, z_max, seed, blob_sigma=0.35):
+    """Crowd blobs + sparse walk-space noise with a SQUASHED raw z
+    (z in [0, z_max] << xy extent), so the modular standardisation
+    stretches z hard relative to xy — the scaled-space geometry the
+    10k-point modular parity fixtures never reach."""
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-extent, extent, (n_blobs, 2))
+    nb = int(n * 0.8)
+    pts = np.zeros((n, 3), np.float32)
+    which = rng.randint(0, n_blobs, nb)
+    pts[:nb, :2] = centers[which] + rng.normal(0, blob_sigma, (nb, 2))
+    pts[nb:, :2] = rng.uniform(-extent, extent, (n - nb, 2))
+    pts[:, 2] = rng.uniform(0, z_max, n)
+    return pts
+
+
+def test_modular_scaled_space_census_vs_sklearn():
+    """Venue-scale modular parity against sklearn in the SAME scaled
+    space. Standardisation makes eps = 0.5 MACROSCOPIC (the venue spans
+    ~7 eps per axis), so eps-column decomposition degenerates; above
+    32k the modular variant routes through the packed brute force
+    (brute_cap=BRUTEFORCE_HARD_CAP) — the geometry the 10k-point modular
+    parity fixtures never reach."""
+    import jax.numpy as jnp
+    n = 60_000
+    pts = _blob_venue(n, n_blobs=36, extent=120.0, z_max=0.4, seed=5)
+    scaled = _modular_scale(pts)
+    eps, ms = 0.5, 5  # the modular adaptive eps (preprocess.py:124-125)
+
+    sk = DBSCAN(eps=eps, min_samples=ms).fit(scaled).labels_
+
+    cap = 65536
+    buf = np.zeros((cap, 3), np.float32)
+    buf[:n] = scaled
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    labels, ncl, overflow = clustering.dbscan_labels(
+        jnp.asarray(buf), jnp.asarray(mask), eps, ms,
+        brute_cap=clustering.BRUTEFORCE_HARD_CAP)
+    assert int(overflow) == 0
+    ours = np.asarray(labels)[:n]
+
+    assert int(ncl) == sk.max() + 1
+    assert _census(ours, scaled) == _census(sk, scaled)
+
+
+def test_modular_pipeline_venue_scale_census():
+    """End-to-end: the modular Pipeline at >32k points (the capacity
+    band that used to route warped space through eps-columns and
+    silently drop ~95% of points as column overflow) must reproduce
+    the CPU reference oracle's census."""
+    from lidar_ai_recommendation_software_tpu.config import MODULAR_CONFIG
+    from lidar_ai_recommendation_software_tpu.oracle import (
+        reference as ref)
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+
+    n = 48_000
+    pts = _blob_venue(n, n_blobs=24, extent=90.0, z_max=0.6, seed=7
+                      ).astype(np.float64)
+    out = Pipeline(MODULAR_CONFIG).analyze(pts)
+    oracle = ref.preprocess(pts, variant="modular")
+    n_ref = oracle["clusters"].max() + 1
+
+    proc = out["processed"]
+    inlier = np.asarray(proc.mask)[:n]
+    ours = np.asarray(proc.labels)[:n][inlier]
+    opts = oracle["points"]
+
+    assert int(out["density"]["total_people"]) == n_ref
+    assert _census(ours, pts[inlier]) == _census(oracle["clusters"], opts)
+
+
+def test_modular_overflow_ceiling_raises(monkeypatch):
+    """Past the brute-force HBM wall the pipeline must refuse loudly,
+    not return a silently-wrong census (reference counterpart: sklearn
+    MemoryError, utils/data_processing.py:197). Exercised by shrinking
+    the wall rather than allocating 131k^2 bits."""
+    from lidar_ai_recommendation_software_tpu.config import MODULAR_CONFIG
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+
+    monkeypatch.setattr(clustering, "BRUTEFORCE_HARD_CAP", 1024)
+    pts = _blob_venue(6_000, n_blobs=12, extent=60.0, z_max=0.5, seed=9
+                      ).astype(np.float64)
+    pipe = Pipeline(MODULAR_CONFIG.with_capacity(cluster_column_cap=512))
+    with pytest.raises(RuntimeError, match="brute force"):
+        pipe.analyze(pts)

@@ -1,0 +1,111 @@
+"""Product tests for the neural serving path (VERDICT r2 item 1).
+
+The shipped checkpoint (assets/crowdnet_tiny.npz) must (a) load through
+``NeuralPipeline`` and emit the reference-shaped analysis contract, (b)
+beat the no-skill density floor on held-out venues by the release gate's
+margin, and (c) serve identically through the fused Pallas SA path —
+the product path, not just benchmarks/sa_layer.py — since checkpoints
+are interchangeable between the jnp and fused kernels.
+
+The reference only documents this ambition (windows_design.md:60-66);
+these tests pin the delivered capability.
+"""
+
+import numpy as np
+import pytest
+
+from lidar_ai_recommendation_software_tpu import neural
+from lidar_ai_recommendation_software_tpu.models import train as T
+from lidar_ai_recommendation_software_tpu.synthetic import sample_venue
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return neural.NeuralPipeline(use_pallas=False)
+
+
+def test_checkpoint_ships_and_loads(pipe):
+    params, cfg = T.load_params_npz(neural.default_checkpoint_path())
+    assert cfg.n_points == pipe.train_config.n_points
+    n_params = sum(int(np.prod(v.shape))
+                   for v in __import__("jax").tree_util.tree_leaves(params))
+    assert n_params > 10_000  # a real model, not a stub
+
+
+def test_heldout_density_beats_zero_floor(pipe):
+    """The release gate, re-checked against the committed artifact:
+    held-out density MAE < 0.5x the zero-predictor floor."""
+    ev = T.evaluate(pipe.params, pipe.train_config, n_venues=4,
+                    seed=77_000)
+    assert ev["density_mae"] < 0.5 * ev["density_mae_zero"], ev
+    assert ev["people_rel_err"] < 0.5, ev
+
+
+def test_analyze_contract_and_sanity(pipe):
+    """End-to-end on the golden fixture: reference-shaped dicts, a
+    people count in the right decade, hotspots in-bounds."""
+    pts = sample_venue(n_points=4096, n_people=50, seed=42)
+    out = pipe.analyze(pts)
+
+    d = out["density"]
+    g = pipe.train_config.grid
+    assert d["density_map"].shape == (g, g)
+    assert d["density_grid"].shape == (g, g)
+    # 50 true people; the count head must land in a sane band
+    assert 10 <= d["total_people"] <= 150
+    for h in d["hotspots"]:
+        assert -16 <= h["x"] <= 16 and -16 <= h["y"] <= 16
+
+    f = out["flow"]
+    assert f["flow_vectors"]["vectors"].shape == (g * g, 2)
+    assert f["avg_speed"] >= 0.0
+    assert f["dominant_direction"] in {"E", "NE", "N", "NW", "W", "SW",
+                                       "S", "SE"}
+    for b in f["bottlenecks"]:
+        assert 0 <= b["severity"] <= 10
+
+    assert out["congestion"]["map"].shape == (g, g)
+    assert 0.0 <= float(out["congestion"]["map"].min())
+    assert float(out["congestion"]["map"].max()) <= 1.0
+    assert isinstance(out["recommendations"], list)
+    assert out["recommendations"], "non-trivial scene must recommend"
+
+
+def test_fused_pallas_path_serves_same_checkpoint(pipe):
+    """use_pallas=True (interpret mode on CPU) must reproduce the jnp
+    path's density map from the SAME shipped checkpoint — the product
+    fused path, exercised by a product test."""
+    fused = neural.NeuralPipeline(use_pallas=True)
+    pts = sample_venue(n_points=2048, n_people=30, seed=7)
+    vmin = pts[:, :2].min(axis=0).astype(np.float32)
+    vsize = float(np.ptp(pts[:, :2], axis=0).max()) + 1e-6
+
+    a = pipe.forward(pts, vmin, vsize)
+    b = fused.forward(pts, vmin, vsize)
+    # identical params; fused kernels recompute the same f32 math
+    np.testing.assert_allclose(b["density"], a["density"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(b["flow"], a["flow"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_downsample_branch_over_capacity(pipe):
+    """Clouds above the model's static capacity go through the
+    reference downsampler semantics (uniform subset) and still emit a
+    full contract."""
+    pts = sample_venue(n_points=9000, n_people=40, seed=3)
+    out = pipe.analyze(pts)
+    assert out["density"]["total_people"] > 0
+
+
+def test_cli_analyze_neural_smoke(tmp_path, capsys):
+    """lidar-crowd analyze --neural uses the packaged checkpoint."""
+    from lidar_ai_recommendation_software_tpu import cli
+
+    pts = sample_venue(n_points=2048, n_people=30, seed=9)
+    p = tmp_path / "cloud.npy"
+    np.save(p, pts)
+    rc = cli.main(["analyze", str(p), "--neural"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "people" in out.lower()

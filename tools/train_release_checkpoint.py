@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Train and package the shipped CrowdNet checkpoint.
+
+Produces ``lidar_ai_recommendation_software_tpu/assets/crowdnet_tiny.npz``
+— the artifact ``NeuralPipeline`` (neural.py) loads by default and
+``lidar-crowd analyze --neural`` serves. The recipe is fixed so the
+committed checkpoint is reproducible: TrainConfig below, AdamW, synthetic
+venue distillation (models/train.py synth_example — the analytic
+pipeline's own estimand), held-out evaluation on a disjoint seed stream.
+
+The reference only documents this ambition ("AI-based flow analysis",
+/root/reference/windows_design.md:60-66); it ships no model. We do.
+
+Usage: python tools/train_release_checkpoint.py [--steps 600] [--out PATH]
+Prints one JSON line with the held-out metrics that gate the release
+(tests/test_neural.py re-checks these bounds against the committed file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+DEFAULT_OUT = os.path.join(
+    REPO, "lidar_ai_recommendation_software_tpu", "assets",
+    "crowdnet_tiny.npz")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--eval-venues", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    from lidar_ai_recommendation_software_tpu.models import train as T
+
+    # The release recipe. n_points=4096 keeps inference latency and the
+    # artifact size small; grid=32 matches the monolith density grid
+    # downsampled 2x (NeuralPipeline reports its own grid size).
+    cfg = T.TrainConfig(batch_size=8, n_points=4096, grid=32,
+                        sa1_samples=512, sa2_samples=128,
+                        learning_rate=3e-4, seed=0,
+                        lr_schedule_steps=args.steps)
+    dev = jax.devices()[0]
+    print(f"training release CrowdNet on {dev} ({args.steps} steps)")
+    t0 = time.time()
+    state, final = T.fit(cfg, args.steps, log_every=50)
+    train_s = time.time() - t0
+
+    ev = T.evaluate(state.params, cfg, n_venues=args.eval_venues)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    T.save_params_npz(args.out, state.params, cfg)
+    size_kb = os.path.getsize(args.out) / 1024
+
+    out = {"checkpoint": args.out, "size_kb": round(size_kb, 1),
+           "steps": args.steps, "train_s": round(train_s, 1),
+           "device": str(dev), "final_loss": round(final["loss"], 4),
+           **{k: round(v, 4) for k, v in ev.items()}}
+    print(json.dumps(out))
+    # release gate: must clearly beat the no-skill floor
+    assert ev["density_mae"] < 0.5 * ev["density_mae_zero"], out
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
