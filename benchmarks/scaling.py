@@ -7,6 +7,12 @@ CPU executes all virtual devices).
 
 Usage:
   python benchmarks/scaling.py --devices 1 2 4 8 --cells-per-device 128
+
+Besides wall-clock, every row carries an analytic ICI communication model
+(bytes exchanged per step from the program structure, not measured), so a
+virtual-mesh run still produces a *prediction* — comm:compute ratio and
+predicted weak-scaling efficiency at --ici-gbps — that a real-slice run
+can check against its measured efficiency.
 """
 
 from __future__ import annotations
@@ -28,6 +34,12 @@ def main():
     ap.add_argument("--cluster-points", type=int, default=0,
                     help="also run sharded DBSCAN end to end on an "
                          "N-point venue (BASELINE config 5: 10000000)")
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="assumed per-link ICI bandwidth (GB/s, each "
+                         "direction) for the analytic comm model; v5e "
+                         "~45 GB/s per link")
+    ap.add_argument("--ici-latency-us", type=float, default=1.0,
+                    help="assumed per-ppermute-hop launch latency (us)")
     args = ap.parse_args()
 
     import os
@@ -77,6 +89,40 @@ def main():
         dt = device_timer(
             f, lambda i: (ppl + i * 1e-4,), lambda r: r[0, 0],
             iters=args.iters)
+
+        # flow + bottleneck stencil (the one op with steady-state halo
+        # traffic) on the same stripes
+        from lidar_ai_recommendation_software_tpu.models import flow as fm
+        mins = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+        maxs = jnp.asarray([extent, 256.0, 2.0], jnp.float32)
+        u = jnp.asarray(fm.bottleneck_uniforms(), jnp.float32)
+
+        def run_flow(mn):
+            return spatial.sharded_flow_and_bottlenecks(
+                mn, maxs, u, cfg, mesh)
+
+        ff = jax.jit(run_flow)
+        dt_flow = device_timer(
+            ff, lambda i: (mins + i * 1e-5,), lambda r: r[1][0, 0],
+            iters=args.iters)
+
+        # ---- analytic ICI comm model (program structure, not measured) —
+        # density: people replicated => one K*2*f32 broadcast per step;
+        # flow: halo_exchange_x sends span columns of f32 mags + bool
+        # valid to each neighbor (both edges), plus one scalar pmax.
+        fc = cfg.flow
+        span = max(1, int(np.ceil(fc.mono_box_halfwidth / fc.grid_size))
+                   - 1)
+        gy = 256
+        halo_bytes = 2 * span * gy * (4 + 1)  # send per device per step
+        bcast_bytes = args.people * 2 * 4
+        bw = args.ici_gbps * 1e9
+        hops = 2 + 1  # 2 halo ppermutes + 1 pmax allreduce
+        t_comm = ((halo_bytes + bcast_bytes) / bw
+                  + hops * args.ici_latency_us * 1e-6) if nd > 1 else 0.0
+        t_comp = dt + dt_flow
+        pred_eff = t_comp / (t_comp + t_comm)
+
         cells = gx * 256
         cps = cells / dt
         pps = cps  # cells/s is the weak-scaling unit here
@@ -84,10 +130,21 @@ def main():
             base_pps = cps / nd
         rows.append({"devices": nd, "cells": cells,
                      "ms": round(dt * 1000, 2),
+                     "flow_ms": round(dt_flow * 1000, 2),
                      "cells_per_sec": round(cps),
                      "weak_scaling_efficiency":
-                         round(cps / (base_pps * nd), 3)})
+                         round(cps / (base_pps * nd), 3),
+                     "comm_model": {
+                         "halo_bytes_per_step": halo_bytes,
+                         "people_bcast_bytes": bcast_bytes,
+                         "t_comm_us": round(t_comm * 1e6, 2),
+                         "comm_compute_ratio":
+                             round(t_comm / max(t_comp, 1e-12), 5),
+                         "predicted_weak_scaling_efficiency":
+                             round(pred_eff, 4)}})
     print(json.dumps({"metric": "spatial_weak_scaling", "rows": rows,
+                      "ici_model": {"gbps": args.ici_gbps,
+                                    "latency_us": args.ici_latency_us},
                       "device": str(jax.devices()[0])}, indent=2))
 
     # BASELINE config 5: venue-scale sharded clustering end to end —

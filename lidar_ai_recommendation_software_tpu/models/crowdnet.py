@@ -221,8 +221,19 @@ class CrowdNet(nn.Module):
         density = nn.softplus(head("density_head", 1))[..., 0]
         flow = head("flow_head", 2)
         congestion = nn.sigmoid(head("congestion_head", 1))[..., 0]
+        # Dedicated count head: a free-form nonnegative mass map whose
+        # INTEGRAL is supervised with the true people count (train.py
+        # count loss). Decoupled from the density head because the two
+        # estimands conflict: per-cell MAE is minimised by the
+        # conditional median (sparse, mass-losing), while venue count
+        # needs mass preservation — one map cannot serve both (observed:
+        # any count pressure on density_head pushes its MAE above the
+        # zero floor).
+        cmap = nn.softplus(head("count_head", 1))[..., 0]
+        cell_area = (venue_size / self.grid) ** 2
         return {"density": density, "flow": flow,
-                "congestion": congestion}
+                "congestion": congestion,
+                "count": jnp.sum(cmap) * cell_area}
 
 
 class BatchedCrowdNet(nn.Module):

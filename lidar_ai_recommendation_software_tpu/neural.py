@@ -130,7 +130,10 @@ class NeuralPipeline:
         congestion = out["congestion"]
 
         dc = self.config.density
-        total_people = int(round(float(density.sum() * cell_area)))
+        # count comes from the dedicated count head (crowdnet.py): the
+        # MAE-trained density map is mass-losing by construction
+        # (conditional-median), so its integral undercounts
+        total_people = int(round(float(out["count"])))
         venue_area = max(1.0, float((vmax[0] - vmin[0])
                                     * (vmax[1] - vmin[1])))
         avg_density = total_people / venue_area  # monolith semantics

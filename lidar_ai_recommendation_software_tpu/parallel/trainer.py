@@ -108,13 +108,12 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, state):
     batch_sh = {k: NamedSharding(mesh, P("dp"))
                 for k in ("points", "mask", "venue_min", "venue_size",
                           "density", "flow", "congestion")}
-    metric_sh = {k: NamedSharding(mesh, P())
-                 for k in ("loss", "density_mae", "flow_mse")}
-
+    # metrics are scalars: one replicated spec for the whole subtree
+    # (a prefix pytree, so loss_fn may add/remove metric keys freely)
     return jax.jit(
         step_fn,
         in_shardings=(state_shardings, batch_sh),
-        out_shardings=(state_shardings, metric_sh),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0,),
     )
 
