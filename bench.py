@@ -14,65 +14,143 @@ is the measured CPU reference path):
 Also asserts correctness alongside speed: density-grid MAE vs the oracle on
 the 100K venue must be ~0 (exact radius-count parity).
 
+Un-zeroable by design (round-3 postmortem: a probe-only gate declared the
+chip down after 370 s, printed value=0 without attempting the workload,
+then aborted rc 134 unwinding through the wedged runtime). Now:
+  - there is NO gating probe — every device stage is attempted directly,
+    each inside a daemon-thread watchdog so a wedged tunnel costs one
+    stage's budget, never the record;
+  - a failed/hung first device stage triggers ONE backend re-init and a
+    retry before the stage is declared lost;
+  - whatever was measured (CPU baseline, per-stage errors, partial sizes)
+    is always emitted in the JSON detail;
+  - after printing the record the process leaves via os._exit(0), so a
+    hung device thread can never turn a degraded record into a crash.
+tests/test_bench_degraded.py drives the wedged path end-to-end.
+
 Prints exactly one JSON line.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+# Per-stage watchdog budgets (seconds). First device touch through the
+# remote tunnel pays ~60 s warmup and a 1M compile is ~20-40 s, so the
+# correctness stage gets the biggest budget. Overridable for tests.
+STAGE_TIMEOUT_S = float(os.environ.get("LIDAR_BENCH_STAGE_TIMEOUT", 600))
+
+
+def run_guarded(fn, label, detail, timeout_s=None):
+    """Run ``fn`` in a daemon thread with a deadline. Returns its value,
+    or None after recording the error/timeout under detail.stage_errors.
+    Daemon thread (not a pool): a worker wedged inside a device call must
+    not block interpreter exit."""
+    timeout_s = STAGE_TIMEOUT_S if timeout_s is None else timeout_s
+    box = {}
+
+    def run():
+        try:
+            box["val"] = fn()
+        except BaseException as e:  # device aborts raise SystemError etc.
+            box["err"] = repr(e)[:300]
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if "val" in box:
+        return box["val"]
+    err = box.get("err", "timeout after %.0fs" % timeout_s)
+    detail.setdefault("stage_errors", {})[label] = err
+    print("bench stage %r failed: %s" % (label, err), file=sys.stderr)
+    return None
+
+
+def reinit_backend():
+    """Best-effort JAX backend teardown so a transient tunnel error does
+    not condemn every later stage. Private API, version-guarded."""
+    import jax
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    try:
+        from jax._src import xla_bridge
+        xla_bridge._clear_backends()
+        return True
+    except Exception:
+        return False
+
+
+def emit(record):
+    """Print the one-line record and leave WITHOUT unwinding: a daemon
+    thread wedged inside the TPU runtime aborts the interpreter during
+    normal exit (observed rc 134, round 3)."""
+    print(json.dumps(record))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
 
 def main():
-    import jax
-
     from lidar_ai_recommendation_software_tpu.config import MONOLITH_CONFIG
     from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
     from lidar_ai_recommendation_software_tpu.synthetic import scaled_venue
     from lidar_ai_recommendation_software_tpu.types import PointCloud
 
     n_tpu = int(os.environ.get("LIDAR_BENCH_POINTS", 1_000_000))
-    n_cpu = 100_000
+    n_cpu = int(os.environ.get("LIDAR_BENCH_CPU_POINTS", 100_000))
+    simulate_wedge = os.environ.get("LIDAR_BENCH_SIMULATE_WEDGE") == "1"
+
+    detail = {"tpu_points": n_tpu, "cpu_points": n_cpu}
+    record = {"metric": "full_pipeline_points_per_sec_1chip",
+              "value": 0, "unit": "points/s", "vs_baseline": 0.0,
+              "detail": detail}
 
     pts_small = scaled_venue(n_cpu)
-    pts_big = scaled_venue(n_tpu)
 
-    # ---- CPU reference baseline (measured) ----
+    # ---- CPU reference baseline (measured; host-only, always runs) ----
     from lidar_ai_recommendation_software_tpu.oracle import reference as ref
     t0 = time.time()
     oracle_small = ref.analyze(pts_small, variant="monolith")
-    cpu_s = time.time() - t0
-    cpu_pps = n_cpu / cpu_s
+    cpu_pps = n_cpu / (time.time() - t0)
+    detail["cpu_points_per_sec"] = round(cpu_pps)
 
-    # ---- device liveness guard (remote tunnels can wedge; emit an
-    # honest degraded record instead of hanging the driver) ----
-    from lidar_ai_recommendation_software_tpu.utils.resilience import (
-        device_healthy)
-    # explicit attempts/delay: worst case 3x120s + 2x5s before declaring
-    # the chip down — intentional here (the driver runs bench once per
-    # round; a transient tunnel error must not zero the record)
-    if not device_healthy(timeout_s=120.0, attempts=3, retry_delay_s=5.0):
-        print(json.dumps({
-            "metric": "full_pipeline_points_per_sec_1chip",
-            "value": 0, "unit": "points/s", "vs_baseline": 0.0,
-            "detail": {"error": "device unhealthy (liveness probe "
-                                "timed out)",
-                       "cpu_points_per_sec": round(cpu_pps)},
-        }))
-        return
-
-    # ---- TPU pipeline ----
     pipe = Pipeline(MONOLITH_CONFIG)
 
-    # correctness at 100K vs oracle
-    out_small = pipe.analyze(pts_small)
-    g = out_small["density"]["density_grid"]
-    og = oracle_small["density"]["density_grid"]
-    mae = float(np.abs(g - og).mean()) if g.shape == og.shape else float("nan")
-    people_ok = (out_small["density"]["total_people"]
-                 == oracle_small["density"]["total_people"])
+    def wedge():
+        time.sleep(3600)
+
+    # ---- stage 1: correctness at 100K vs oracle (first device touch:
+    # pays tunnel warmup + compile; biggest budget, one re-init retry) ----
+    def correctness():
+        if simulate_wedge:
+            wedge()
+        out = pipe.analyze(pts_small)
+        g = out["density"]["density_grid"]
+        og = oracle_small["density"]["density_grid"]
+        mae = (float(np.abs(g - og).mean()) if g.shape == og.shape
+               else float("nan"))
+        people_ok = (out["density"]["total_people"]
+                     == oracle_small["density"]["total_people"])
+        return mae, people_ok
+
+    res = run_guarded(correctness, "correctness_100k", detail)
+    if res is None and not simulate_wedge:
+        detail["backend_reinit"] = reinit_backend()
+        res = run_guarded(correctness, "correctness_100k_retry", detail)
+    if res is not None:
+        detail["density_mae_vs_oracle_100k"] = res[0]
+        detail["people_parity_100k"] = bool(res[1])
+    else:
+        # device never produced a result; skip further device stages
+        # (each would burn a full budget on the same wedged tunnel)
+        detail["error"] = "device stages failed; see stage_errors"
+        emit(record)
 
     # Steady-state timing on device. Distinct input clouds per call
     # and a value pull at the end: through the remote-device tunnel,
@@ -93,23 +171,35 @@ def main():
         sec = (time.time() - t0) / iters
         return len(pts) / sec, sec
 
-    tpu_pps, tpu_s = measure(pts_big, iters=4)
+    # ---- stage 2: headline 1M throughput ----
+    pts_big = scaled_venue(n_tpu)
+    res = run_guarded(lambda: measure(pts_big, iters=4),
+                      "throughput_1m", detail)
+    if res is not None:
+        tpu_pps, tpu_s = res
+        record["value"] = round(tpu_pps)
+        record["vs_baseline"] = round(tpu_pps / cpu_pps, 2)
+        detail["tpu_step_ms"] = round(tpu_s * 1000, 2)
 
-    # venue-scale tail (BASELINE configs 4-5 name 1M AND 10M+ scans);
-    # skipped when the headline size was overridden or on request
-    detail_10m = {}
+    # ---- stage 3: venue-scale tail (BASELINE configs 4-5 name 1M AND
+    # 10M+ scans); skipped when the headline size was overridden ----
     if (n_tpu == 1_000_000
             and os.environ.get("LIDAR_BENCH_10M", "1") == "1"):
-        pts_10m = scaled_venue(10_000_000)
-        pps_10m, s_10m = measure(pts_10m, iters=2)
-        detail_10m = {"points_per_sec_10m": round(pps_10m),
-                      "step_ms_10m": round(s_10m * 1000, 1)}
+        def tail():
+            pts_10m = scaled_venue(10_000_000)
+            return measure(pts_10m, iters=2)
 
-    # fused SA layer (BASELINE.json north star: FPS + ball query + SA
-    # kernels); guarded so a kernel regression degrades the record, not
-    # the headline
+        res = run_guarded(tail, "throughput_10m", detail,
+                          timeout_s=STAGE_TIMEOUT_S * 2)
+        if res is not None:
+            detail["points_per_sec_10m"] = round(res[0])
+            detail["step_ms_10m"] = round(res[1] * 1000, 1)
+
+    # ---- stage 4: fused SA layer (BASELINE.json north star: FPS + ball
+    # query + SA kernels) ----
     if os.environ.get("LIDAR_BENCH_SA", "1") == "1":
-        try:
+        def sa_stage():
+            import jax
             import jax.numpy as jnp
 
             from lidar_ai_recommendation_software_tpu.ops.grouping import (
@@ -137,33 +227,26 @@ def main():
                 return pk.sa_mlp_pool(g, gvalid, w,
                                       compute_dtype=jnp.bfloat16)
 
-            import jax
             f = jax.jit(sa)
             sec = device_timer(f, lambda i: (sa_pts + i * 1e-4,),
                                lambda r: r[0, 0], iters=2)
-            detail_10m["sa_layer_fused_ms"] = round(sec * 1000, 2)
-            detail_10m["sa_layer_points_per_sec"] = round(n_sa / sec)
-        except Exception as e:  # record, don't fail the headline
-            detail_10m["sa_layer_error"] = str(e)[:200]
+            return sec, n_sa
 
-    result = {
-        "metric": "full_pipeline_points_per_sec_1chip",
-        "value": round(tpu_pps),
-        "unit": "points/s",
-        "vs_baseline": round(tpu_pps / cpu_pps, 2),
-        "detail": {
-            "tpu_step_ms": round(tpu_s * 1000, 2),
-            "tpu_points": n_tpu,
-            "cpu_points_per_sec": round(cpu_pps),
-            "cpu_points": n_cpu,
-            "density_mae_vs_oracle_100k": mae,
-            "people_parity_100k": bool(people_ok),
-            "device": str(jax.devices()[0]),
-            **detail_10m,
-        },
-    }
-    print(json.dumps(result))
+        res = run_guarded(sa_stage, "sa_layer", detail)
+        if res is not None:
+            detail["sa_layer_fused_ms"] = round(res[0] * 1000, 2)
+            detail["sa_layer_points_per_sec"] = round(res[1] / res[0])
+
+    def device_name():
+        import jax
+        return str(jax.devices()[0])
+
+    res = run_guarded(device_name, "device_name", detail, timeout_s=30)
+    if res is not None:
+        detail["device"] = res
+
+    emit(record)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -31,6 +31,9 @@ def main():
 
     from lidar_ai_recommendation_software_tpu.config import MONOLITH_CONFIG
     from lidar_ai_recommendation_software_tpu.ops import clustering, columns
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import packed_adjacency as padj
     from lidar_ai_recommendation_software_tpu.pipeline import (
         Pipeline, enable_compilation_cache)
     from lidar_ai_recommendation_software_tpu.synthetic import scaled_venue
@@ -79,10 +82,10 @@ def main():
             nn = p.shape[0]
 
             if args.which == "adj":
-                adj = columns.column_adjacency(g, eps, g.table_valid,
+                adj = padj.column_adjacency(g, eps, g.table_valid,
                                                stripe=stripe)
                 core_words = columns.pad_interior(
-                    columns.pack_slots(core_int), jnp.uint32(0))
+                    padj.pack_slots(core_int), jnp.uint32(0))
                 shifted = [core_words[1 + dx:1 + dx + ncx,
                                       1 + dy:1 + dy + ncy]
                            for dx, dy in columns.OFFSETS_3X3]
@@ -109,7 +112,7 @@ def main():
                         g, columns.pad_interior(labels, INT_MAX), core_pad,
                         eps, INT_MAX, stripe=stripe)
                 else:
-                    nbr_min = columns.adjacency_min_label(
+                    nbr_min = padj.adjacency_min_label(
                         adj_core_pad,
                         columns.pad_interior(labels, INT_MAX),
                         INT_MAX, stripe=stripe)

@@ -37,7 +37,11 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--report", help="write HTML report to this path")
     a.add_argument("--json", dest="json_out",
                    help="write results JSON to this path")
-    a.add_argument("--store", help="persist results to this SQLite file")
+    a.add_argument("--store", help="persist results: SQLite path or "
+                   "postgres:// DSN (reference app_with_db.py lifecycle)")
+    a.add_argument("--fallback-cpu", action="store_true",
+                   help="degrade to the CPU oracle if the device fails "
+                        "(utils/resilience.FallbackPipeline)")
     a.add_argument("--event", default="", help="event name for the store")
     a.add_argument("--no-figures", action="store_true",
                    help="skip figure rendering in the report")
@@ -116,8 +120,15 @@ def cmd_analyze(args) -> int:
     else:
         from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
         pipe = Pipeline(cfg)
+        if getattr(args, "fallback_cpu", False):
+            from lidar_ai_recommendation_software_tpu.utils.resilience \
+                import FallbackPipeline
+            pipe = FallbackPipeline(pipe)
     out = pipe.analyze(points)
     dt = time.time() - t0
+    if out.get("degraded"):
+        print("WARNING: device unavailable — results computed by the "
+              "CPU oracle fallback", file=sys.stderr)
 
     d, f, r = out["density"], out["flow"], out["recommendations"]
     print(f"Analyzed {len(points):,} points in {dt:.2f}s "
@@ -155,9 +166,11 @@ def cmd_analyze(args) -> int:
         print(f"  HTML report     : {args.report}")
 
     if args.store:
+        # open_store routes postgres:// DSNs to PostgresStore
+        # (store.py:335-346); everything else is a SQLite path
         from lidar_ai_recommendation_software_tpu.utils.store import (
-            ResultsStore)
-        store = ResultsStore(args.store)
+            open_store)
+        store = open_store(args.store)
         eid = store.create_event(args.event or args.cloud)
         aid = store.create_analysis(event_id=eid,
                                     point_summary={"n": len(points)})

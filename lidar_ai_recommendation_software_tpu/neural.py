@@ -69,6 +69,24 @@ class NeuralPipeline:
         self.config = config
         path = checkpoint or default_checkpoint_path()
         self.params, self.train_config = load_params_npz(path)
+        # Legacy-checkpoint migration: artifacts trained before the
+        # dedicated count head (crowdnet.py count_head) lack its params
+        # and would crash at apply time. Graft zero params (the two count
+        # convs mirror the density-head shapes) and fall back to the
+        # density-integral count in analyze() — degraded but serving.
+        self._legacy_count = False
+        net = self.params.get("VmapCrowdNet_0", self.params)
+        if "density_head" in net and "count_head" not in net:
+            import logging
+            logging.getLogger("lidar_tpu.neural").warning(
+                "checkpoint %s predates the count head; people counts "
+                "fall back to the density integral — retrain with "
+                "`lidar-crowd train` for calibrated counts", path)
+            net["count_head_hidden"] = jax.tree_util.tree_map(
+                np.zeros_like, net["density_head_hidden"])
+            net["count_head"] = jax.tree_util.tree_map(
+                np.zeros_like, net["density_head"])
+            self._legacy_count = True
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.model: BatchedCrowdNet = make_model(
@@ -132,8 +150,13 @@ class NeuralPipeline:
         dc = self.config.density
         # count comes from the dedicated count head (crowdnet.py): the
         # MAE-trained density map is mass-losing by construction
-        # (conditional-median), so its integral undercounts
-        total_people = int(round(float(out["count"])))
+        # (conditional-median), so its integral undercounts. Legacy
+        # checkpoints (no count head) use that integral anyway — the
+        # honest pre-count-head behaviour.
+        if self._legacy_count:
+            total_people = int(round(float(density.sum()) * cell_area))
+        else:
+            total_people = int(round(float(out["count"])))
         venue_area = max(1.0, float((vmax[0] - vmin[0])
                                     * (vmax[1] - vmin[1])))
         avg_density = total_people / venue_area  # monolith semantics

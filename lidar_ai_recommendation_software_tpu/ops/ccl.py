@@ -24,9 +24,10 @@ int) and padding holds 1e18 — either way the distance test rejects them
 with no mask input (NaN/huge <= r2 is false). Labels are int32 point
 indices with INT_MAX for non-core/empty — non-core neighbors never win
 a min, so no core mask is needed in the kernel either. The table itself
-is built by ops/pallas/permute.sorted_fill (sequential merge write) and
-the point<->table maps by its serial VMEM permute kernels — XLA's TPU
-scatter/gather run at only ~20M elem/s.
+is built by ONE fused XLA width-4 scatter (x, y, z + the point index as
+an exact-f32 value lane, see build_planes); the point->slot rank map
+rides ops/pallas/permute.permutation_scatter (a sort, ~12 ms at 1M, vs
+~50 ms for an XLA scatter at TPU's ~20M elem/s).
 
 Kernels:
   - ``column_counts_planes``: Jacobi eps-neighbor counts (core test).
@@ -466,13 +467,10 @@ def dbscan_gs(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     labels_pt = jnp.where(labels_pt == INT_MAX, -1, labels_pt)
     labels_pt = jnp.where(mask, labels_pt, -1)
 
-    from lidar_ai_recommendation_software_tpu.ops.pallas import permute
-
     idx = jnp.arange(n, dtype=jnp.int32)
     is_rep = (labels_pt == idx) & (labels_pt >= 0)
     dense_minus1 = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
     safe = jnp.clip(labels_pt, 0, n - 1)
-    dense = jnp.where(labels_pt >= 0,
-                      permute.vmem_gather(dense_minus1, safe), -1)
+    dense = jnp.where(labels_pt >= 0, dense_minus1[safe], -1)
     return (dense.astype(jnp.int32), jnp.sum(is_rep.astype(jnp.int32)),
             planes.overflow)

@@ -30,6 +30,16 @@ def test_checkpoint_ships_and_loads(pipe):
     n_params = sum(int(np.prod(v.shape))
                    for v in __import__("jax").tree_util.tree_leaves(params))
     assert n_params > 10_000  # a real model, not a stub
+    # APPLY the params to the current module definition: round 3 shipped
+    # an artifact missing the new count_head params and this test's
+    # key-count check let it through — a structure-drifted checkpoint
+    # must fail here, not at first serve
+    pts = sample_venue(n_points=cfg.n_points, n_people=20, seed=1)
+    vmin = pts[:, :2].min(axis=0).astype(np.float32)
+    vsize = float(np.ptp(pts[:, :2], axis=0).max()) + 1e-6
+    out = pipe.forward(pts, vmin, vsize)
+    assert set(out) == {"density", "flow", "congestion", "count"}
+    assert np.isfinite(out["count"])
 
 
 def test_heldout_density_beats_zero_floor(pipe):
@@ -75,8 +85,11 @@ def test_analyze_contract_and_sanity(pipe):
     assert out["congestion"]["map"].shape == (g, g)
     assert 0.0 <= float(out["congestion"]["map"].min())
     assert float(out["congestion"]["map"].max()) <= 1.0
-    assert isinstance(out["recommendations"], list)
-    assert out["recommendations"], "non-trivial scene must recommend"
+    # the shared reference shape (utils/recommendations.py:59): the dict
+    # the analytic Pipeline.analyze emits, so reports/stores are shared
+    rec = out["recommendations"]
+    assert set(rec) == {"issues", "actions", "opportunities"}
+    assert rec["opportunities"], "non-trivial scene must recommend"
 
 
 def test_fused_pallas_path_serves_same_checkpoint(pipe):
@@ -104,6 +117,25 @@ def test_downsample_branch_over_capacity(pipe):
     pts = sample_venue(n_points=9000, n_people=40, seed=3)
     out = pipe.analyze(pts)
     assert out["density"]["total_people"] > 0
+
+
+def test_legacy_checkpoint_without_count_head_serves(tmp_path, pipe):
+    """Pre-count-head artifacts (e.g. from an older `lidar-crowd train`)
+    must keep serving: counts fall back to the density integral instead
+    of crashing at apply time (ADVICE r3)."""
+    src = neural.default_checkpoint_path()
+    legacy = tmp_path / "legacy.npz"
+    with np.load(src, allow_pickle=False) as z:
+        kept = {k: z[k] for k in z.files if "count_head" not in k}
+    np.savez_compressed(legacy, **kept)
+
+    lp = neural.NeuralPipeline(str(legacy), use_pallas=False)
+    assert lp._legacy_count
+    pts = sample_venue(n_points=2048, n_people=30, seed=5)
+    out = lp.analyze(pts)
+    assert out["density"]["total_people"] >= 0
+    assert set(out["recommendations"]) == {"issues", "actions",
+                                           "opportunities"}
 
 
 def test_cli_analyze_neural_smoke(tmp_path, capsys):

