@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--points", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--centroid-compare", action="store_true",
+                    help="time BOTH cluster_centroids backends "
+                         "(segment_sum scatter vs sort+scan) at this "
+                         "size, quantifying the >2M-point switch")
     args = ap.parse_args()
 
     import jax
@@ -69,8 +73,38 @@ def main():
                                                               2)
 
     processed = pre(clouds[0])
-    people = jax.jit(functools.partial(dm.extract_people, config=cfg))(
-        processed)
+    ppl_fn = jax.jit(functools.partial(dm.extract_people, config=cfg))
+    dt = device_timer(ppl_fn, lambda i: (processed,),
+                      lambda r: r.positions[0, 0], iters=args.iters)
+    results["stages_ms"]["extract_people"] = round(dt * 1000, 2)
+    people = ppl_fn(processed)
+
+    if args.centroid_compare:
+        from lidar_ai_recommendation_software_tpu.ops import clustering
+
+        kmax = cfg.capacity.max_people
+        cpts, clabels = processed.points, processed.labels
+
+        def seg_backend(p):
+            seg = jnp.where(clabels >= 0, clabels, kmax)
+            s = jax.ops.segment_sum(p, seg, num_segments=kmax + 1)[:kmax]
+            c = jax.ops.segment_sum(jnp.ones(p.shape[0], p.dtype), seg,
+                                    num_segments=kmax + 1)[:kmax]
+            return s / jnp.maximum(c, 1.0)[:, None]
+
+        def sort_backend(p):
+            seg = jnp.where(clabels >= 0, clabels, kmax)
+            s, c = clustering._centroids_sorted(
+                p, seg.astype(jnp.int32), kmax)
+            return s / jnp.maximum(c, 1.0)[:, None]
+
+        for name, fn in (("centroid_segment_sum", seg_backend),
+                         ("centroid_sort_scan", sort_backend)):
+            f = jax.jit(fn)
+            dt = device_timer(f, lambda i: (cpts + i * 1e-6,),
+                              lambda r: r[0, 0], iters=args.iters)
+            results["stages_ms"][name] = round(dt * 1000, 2)
+
     dens = jax.jit(functools.partial(dm.analyze_density, config=cfg))
     dt = device_timer(dens, lambda i: (processed, people),
                       lambda r: r.max_density, iters=args.iters)

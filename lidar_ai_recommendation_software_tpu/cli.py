@@ -35,6 +35,8 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--variant", choices=["monolith", "modular"],
                    default="monolith")
     a.add_argument("--report", help="write HTML report to this path")
+    a.add_argument("--pdf", dest="pdf_out",
+                   help="write a multi-page PDF report to this path")
     a.add_argument("--json", dest="json_out",
                    help="write results JSON to this path")
     a.add_argument("--store", help="persist results: SQLite path or "
@@ -164,6 +166,15 @@ def cmd_analyze(args) -> int:
         with open(args.report, "w") as fh:
             fh.write(html)
         print(f"  HTML report     : {args.report}")
+
+    if getattr(args, "pdf_out", None):
+        from lidar_ai_recommendation_software_tpu.utils.report import (
+            generate_pdf_report)
+        generate_pdf_report(
+            args.pdf_out, d, f, r,
+            processed_summary={"source": args.cloud,
+                               "points": len(points)})
+        print(f"  PDF report      : {args.pdf_out}")
 
     if args.store:
         # open_store routes postgres:// DSNs to PostgresStore

@@ -21,8 +21,10 @@ import os
 import sys
 
 
-def main():  # pragma: no cover - requires a display; logic lives in
-    #                              ProjectManager (tested headlessly)
+def main():
+    # Executed headlessly by tests/test_desktop.py against a scripted
+    # fake tkinter (same pattern as the Streamlit lifecycle fake); on a
+    # real display the same body drives the real toolkit.
     import tkinter as tk
     from tkinter import filedialog, messagebox, ttk
 

@@ -197,6 +197,23 @@ class ProjectManager:
                                "points": len(ds.points)},
             title=title or f"Crowd Analysis — {ds.name}")
 
+    def export_report_pdf(self, path: str, dataset_index: int = 0,
+                          title: Optional[str] = None) -> None:
+        """Real multi-page PDF (the reference's generate_pdf_report,
+        project_manager.py:379-435, writes plain text with a .pdf
+        extension; this writes an actual PDF via matplotlib)."""
+        from lidar_ai_recommendation_software_tpu.utils.report import (
+            generate_pdf_report)
+        out = getattr(self, "_last_full_output", None)
+        if out is None:
+            out = self.run_analysis(dataset_index)
+        ds = self.datasets[dataset_index]
+        generate_pdf_report(
+            path, out["density"], out["flow"], out["recommendations"],
+            processed_summary={"dataset": ds.name,
+                               "points": len(ds.points)},
+            title=title or f"Crowd Analysis — {ds.name}")
+
     # -- exporters (project_manager.py:547-606) --
 
     def export_results_json(self, path: str, dataset_name: str) -> None:

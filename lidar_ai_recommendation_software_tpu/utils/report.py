@@ -200,3 +200,79 @@ def generate_report(density_results: Dict, flow_results: Dict,
     parts.append(f"</div><footer>Generated by the TPU-native LiDAR "
                  f"crowd-analytics engine — {now}</footer></body></html>")
     return "".join(parts)
+
+
+def generate_pdf_report(path: str, density_results: Dict,
+                        flow_results: Dict, recommendations: Dict,
+                        processed_summary: Optional[Dict] = None,
+                        title: str = "Crowd Analysis Report") -> None:
+    """Write a REAL multi-page PDF report (matplotlib PdfPages backend).
+
+    The reference's "PDF export" writes a plain text file with a .pdf
+    extension (windows_implementation/core/project_manager.py:379-435 —
+    "we'll just simulate PDF creation"); this produces an actual PDF:
+    page 1 = executive summary + hotspot/bottleneck tables +
+    recommendations, then the density heatmap, flow field and congestion
+    figures, one per page.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    d, f, r = density_results, flow_results, recommendations
+    now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+
+    lines = [title, "=" * min(len(title), 60), "",
+             f"Generated: {now}"]
+    for k, v in (processed_summary or {}).items():
+        lines.append(f"{k}: {v}")
+    lines += ["",
+              f"Total people:       {d['total_people']}",
+              f"Average density:    {d['avg_density']:.2f} people/m^2",
+              f"Maximum density:    {d['max_density']:.2f} people/m^2 "
+              f"({risk_level(d['max_density'])} risk)",
+              f"Average speed:      {f['avg_speed']:.2f} m/s",
+              f"Dominant direction: {f['dominant_direction']}", "",
+              "Hotspots:"]
+    for h in d.get("hotspots", []) or [None]:
+        lines.append("  (none)" if h is None else
+                     f"  ({h['x']:.1f}, {h['y']:.1f})  "
+                     f"{h['density']:.2f} people/m^2  "
+                     f"[{risk_level(h['density'])}]")
+    lines.append("")
+    lines.append("Bottlenecks:")
+    for b in f.get("bottlenecks", []) or [None]:
+        lines.append("  (none)" if b is None else
+                     f"  ({b['x']:.1f}, {b['y']:.1f})  severity "
+                     f"{b['severity']}/10")
+    lines.append("")
+    for section, items, fmt in (
+            ("Issues", r.get("issues", []),
+             lambda i: f"  [{i['severity']}/10] {i['title']} — "
+                       f"{i['location']}"),
+            ("Actions", r.get("actions", []),
+             lambda a: f"  [{a['priority']}] {a['title']}"),
+            ("Opportunities", r.get("opportunities", []),
+             lambda o: f"  [{o['impact']}] {o['title']}")):
+        lines.append(section + ":")
+        lines.extend(fmt(x) for x in items) if items else \
+            lines.append("  (none)")
+        lines.append("")
+
+    with PdfPages(path) as pdf:
+        fig = plt.figure(figsize=(8.27, 11.69))  # A4 portrait
+        fig.text(0.06, 0.97, "\n".join(lines), va="top", family="monospace",
+                 fontsize=8)
+        pdf.savefig(fig)
+        plt.close(fig)
+        for builder in (
+                lambda: viz.density_heatmap_figure(d, engine="matplotlib"),
+                lambda: viz.flow_figure(f, engine="matplotlib"),
+                lambda: viz.congestion_figure(d, f, engine="matplotlib")):
+            try:
+                fig = builder()
+            except Exception:
+                continue  # a figure family missing its inputs is skipped
+            pdf.savefig(fig)
+            plt.close(fig)

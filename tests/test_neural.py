@@ -119,6 +119,62 @@ def test_downsample_branch_over_capacity(pipe):
     assert out["density"]["total_people"] > 0
 
 
+def test_neural_tracks_analytic_pipeline_on_same_clouds(pipe):
+    """Cross-validation of the distillation claim (VERDICT r3 item 7):
+    the SAME held-out venues through BOTH pipelines. Bounds measured
+    over 5 venues and recorded in docs/PARITY.md ("Neural vs analytic"):
+
+      - neural vs GENERATOR-TRUE count: rel err < 0.20 per venue
+        (measured <= 0.17) — the distillation estimand;
+      - neural vs ANALYTIC count: rel err < 0.60 per venue (measured
+        0.35-0.53). The gap is the analytic path's own bias: fixed
+        eps=0.3 DBSCAN over-segments ~24-return person blobs into
+        ~1.6-1.7x the true cluster count on these venues, while the
+        count head was supervised with the true count;
+      - density MAE on the neural BEV lattice vs the analytic-people
+        histogram: venue-mean < 0.8x the zero floor (measured 0.55-0.74
+        per venue — the same over-segmentation doubles some spikes)."""
+    import dataclasses as dc
+
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+
+    analytic = Pipeline()
+    blob_cfg = dc.replace(pipe.train_config, speckle_prob=0.0)
+    g = pipe.train_config.grid
+    maes, floors = [], []
+    rng = np.random.RandomState(880_000)  # held out from train/eval
+    for _ in range(2):
+        ex = T.synth_example(rng, blob_cfg)
+        pts = np.asarray(ex["points"], np.float64)
+        cell_lbl = float(ex["venue_size"]) / g
+        true_n = float(ex["density"].sum()) * cell_lbl ** 2
+
+        a = analytic.analyze(pts)
+        n = pipe.analyze(pts)
+
+        a_count = a["density"]["total_people"]
+        n_count = n["density"]["total_people"]
+        assert abs(n_count - true_n) / max(true_n, 1) < 0.20, \
+            (true_n, n_count)
+        assert abs(n_count - a_count) / max(a_count, 1) < 0.60, \
+            (a_count, n_count)
+
+        # analytic people -> density on the neural BEV lattice
+        ppl = a["people"]
+        pos = np.asarray(ppl.positions)[np.asarray(ppl.mask)]
+        vmin = pts[:, :2].min(axis=0)
+        vsize = float(np.ptp(pts[:, :2], axis=0).max()) + 1e-6
+        cell = vsize / g
+        ci = np.clip(((pos - vmin) / cell).astype(int), 0, g - 1)
+        hist = np.zeros((g, g), np.float32)
+        np.add.at(hist, (ci[:, 0], ci[:, 1]), 1.0)
+        hist /= cell ** 2
+
+        maes.append(np.abs(n["density"]["density_map"] - hist).mean())
+        floors.append(np.abs(hist).mean())
+    assert np.mean(maes) < 0.8 * np.mean(floors), (maes, floors)
+
+
 def test_legacy_checkpoint_without_count_head_serves(tmp_path, pipe):
     """Pre-count-head artifacts (e.g. from an older `lidar-crowd train`)
     must keep serving: counts fall back to the density integral instead

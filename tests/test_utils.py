@@ -171,6 +171,24 @@ class TestReport:
         for step in out["recommendations"]["actions"][0]["steps"]:
             assert step[:20] in html
 
+    def test_pdf_report_is_real_pdf(self, tmp_path, fixture_points):
+        """The PDF export writes an actual PDF (magic %PDF-, multiple
+        pages), not the reference's text-file-with-.pdf-extension
+        (project_manager.py:379-435)."""
+        from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+        from lidar_ai_recommendation_software_tpu.utils.project import (
+            ProjectManager)
+
+        pm = ProjectManager()
+        pm.new_project("venue")
+        pm.add_dataset("fixture", fixture_points)
+        pm.run_analysis()
+        path = tmp_path / "out.pdf"
+        pm.export_report_pdf(str(path))
+        data = path.read_bytes()
+        assert data[:5] == b"%PDF-"
+        assert data.count(b"/Type /Page") >= 3  # summary + >=2 figures
+
     def test_report_without_figures(self):
         html = generate_report(
             {"total_people": 0, "avg_density": 0.0, "max_density": 0.0,
