@@ -47,6 +47,14 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--event", default="", help="event name for the store")
     a.add_argument("--no-figures", action="store_true",
                    help="skip figure rendering in the report")
+    a.add_argument("--downsample", type=float, default=None,
+                   metavar="FACTOR",
+                   help="random-downsample to this fraction before "
+                        "analysis (reference downsample_point_cloud "
+                        "semantics, data_processing.py:231-249)")
+    a.add_argument("--voxel", type=float, default=None, metavar="SIZE",
+                   help="voxel-grid downsample (one point per SIZE-m "
+                        "voxel, on device) before analysis")
     a.add_argument("--neural", nargs="?", const="default", default=None,
                    metavar="CKPT",
                    help="serve with CrowdNet (one MXU forward pass) "
@@ -112,6 +120,23 @@ def cmd_analyze(args) -> int:
         MODULAR_CONFIG, MONOLITH_CONFIG)
 
     points = _load(args.cloud)
+    if getattr(args, "downsample", None):
+        from lidar_ai_recommendation_software_tpu.compat import (
+            downsample_point_cloud)
+        points = downsample_point_cloud(points, args.downsample)
+        print(f"downsampled to {len(points):,} points "
+              f"(factor {args.downsample})")
+    if getattr(args, "voxel", None):
+        import jax.numpy as jnp
+
+        from lidar_ai_recommendation_software_tpu.ops.sampling import (
+            voxel_downsample)
+        p = jnp.asarray(points, jnp.float32)
+        _, keep = voxel_downsample(p, jnp.ones(len(points), bool),
+                                   args.voxel)
+        points = points[np.asarray(keep)]
+        print(f"voxel-downsampled to {len(points):,} points "
+              f"({args.voxel} m voxels)")
     cfg = MONOLITH_CONFIG if args.variant == "monolith" else MODULAR_CONFIG
     t0 = time.time()
     if getattr(args, "neural", None) is not None:

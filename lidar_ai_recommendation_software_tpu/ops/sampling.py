@@ -69,18 +69,27 @@ def random_downsample(key: jax.Array, points: jnp.ndarray,
 
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
                      voxel_size: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Keep one representative (lowest padded index) per voxel."""
+    """Keep one representative (lowest padded index) per voxel.
+
+    A 3-key stable sort groups voxel-mates without ever flattening the
+    voxel coordinates into one integer — the flattened id overflows
+    int32 for venue-scale extents at centimetre voxels (and int64 is
+    unavailable without jax_enable_x64). Stability makes the first row
+    of each group the lowest original index."""
     big = jnp.asarray(jnp.finfo(points.dtype).max, points.dtype)
     pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
-    coords = jnp.floor((points - pmin) / voxel_size).astype(jnp.int64)
-    span = jnp.max(jnp.where(mask[:, None], coords, 0)) + 1
-    vid = (coords[:, 0] * span + coords[:, 1]) * span + coords[:, 2]
+    coords = jnp.floor((points - pmin) / voxel_size).astype(jnp.int32)
+    imax = jnp.iinfo(jnp.int32).max
+    cx = jnp.where(mask, coords[:, 0], imax)
+    cy = jnp.where(mask, coords[:, 1], imax)
+    cz = jnp.where(mask, coords[:, 2], imax)
     n = points.shape[0]
-    vid = jnp.where(mask, vid, jnp.iinfo(jnp.int64).max)
-    order = jnp.argsort(vid)
-    sorted_vid = vid[order]
-    is_first = jnp.concatenate([jnp.array([True]),
-                                sorted_vid[1:] != sorted_vid[:-1]])
-    keep_sorted = is_first & (sorted_vid != jnp.iinfo(jnp.int64).max)
-    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    scx, scy, scz, sidx = jax.lax.sort((cx, cy, cz, idx), num_keys=3)
+    is_first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (scx[1:] != scx[:-1]) | (scy[1:] != scy[:-1])
+        | (scz[1:] != scz[:-1])])
+    keep_sorted = is_first & (scx != imax)
+    keep = jnp.zeros(n, bool).at[sidx].set(keep_sorted)
     return points, keep

@@ -300,3 +300,23 @@ class TestCLI:
         assert os.path.exists(report) and os.path.exists(jout)
         s = ResultsStore(db)
         assert len(s.list_reports()) == 1
+
+    def test_analyze_downsample_options(self, tmp_path, capsys):
+        """--downsample (reference random semantics) and --voxel (device
+        voxel grid) both pre-thin the cloud before analysis."""
+        from lidar_ai_recommendation_software_tpu.cli import main
+        from lidar_ai_recommendation_software_tpu.synthetic import (
+            sample_venue)
+        venue = str(tmp_path / "v.npy")
+        np.save(venue, sample_venue())
+
+        assert main(["analyze", venue, "--downsample", "0.5"]) == 0
+        out = capsys.readouterr().out
+        assert "downsampled to 5,000 points" in out
+
+        assert main(["analyze", venue, "--voxel", "0.4"]) == 0
+        out = capsys.readouterr().out
+        assert "voxel-downsampled to" in out
+        n = int(out.split("voxel-downsampled to ")[1].split(" ")[0]
+                .replace(",", ""))
+        assert 0 < n < 10_000
