@@ -338,19 +338,41 @@ def _df_add(a, b):
     return s, err + e1 + e2
 
 
-def _last_flagged(flag, values):
-    """For each position, the most recent ``values`` where ``flag`` was
-    True (exclusive of the current position is arranged by callers via a
-    shift). One associative scan: op((f1,v1),(f2,v2)) = f2 ? v2 : v1."""
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        f = fa | fb
-        v = tuple(jnp.where(fb, y, x) for x, y in zip(va, vb))
-        return f, v
+def _blocked_prefix(op, xs, block: int = 65536):
+    """Inclusive prefix of associative ``op`` over axis 0, hierarchically:
+    a ``lax.scan`` over blocks carrying the running total, with a small
+    ``associative_scan`` inside each block.
 
-    _, out = jax.lax.associative_scan(op, (flag, tuple(values)))
-    return out
+    A flat associative_scan at venue scale unrolls ~2*log2(n) levels of
+    full-size tensor ops into the module — measured: it doubled the
+    lowered HLO at 8M rows and OOM-killed (SIGKILL) the remote TPU AOT
+    compile helper. Here the module holds one loop body with
+    O(log block) ops on (block, ...) tensors; runtime adds only the
+    n/block-step loop (~milliseconds).
+
+    ``xs`` is a pytree of arrays sharing axis-0 length; ``op`` maps two
+    such pytrees (without the leading axis) to one; the identity must be
+    zeros of each leaf."""
+    leaves = jax.tree_util.tree_leaves(xs)
+    n = leaves[0].shape[0]
+    npad = -(-n // block) * block
+    xsb = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, [(0, npad - n)] + [(0, 0)] * (a.ndim - 1))
+        .reshape((npad // block, block) + a.shape[1:]), xs)
+
+    def step(carry, blk):
+        pref = jax.lax.associative_scan(op, blk, axis=0)
+        with_carry = op(jax.tree_util.tree_map(
+            lambda c, p: jnp.broadcast_to(c, p.shape), carry, pref),
+            pref)
+        new_carry = jax.tree_util.tree_map(lambda p: p[-1], with_carry)
+        return new_carry, with_carry
+
+    carry0 = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape[2:], a.dtype), xsb)
+    _, out = jax.lax.scan(step, carry0, xsb)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((npad,) + a.shape[2:])[:n], out)
 
 
 def _centroids_sorted(points: jnp.ndarray, seg: jnp.ndarray, k: int
@@ -358,50 +380,61 @@ def _centroids_sorted(points: jnp.ndarray, seg: jnp.ndarray, k: int
     """Segment means via sort + compensated prefix scan (no scatter).
 
     Exploits that the pipeline's labels are DENSE ids 0..C-1: after
-    sorting by segment, the j-th segment-end row is segment j's, so the
-    per-segment (sum, count) rows land in dense order with one more sort
-    instead of a scatter. Returns (sums (K, D), counts (K,))."""
+    sorting by segment, segment j's rows are contiguous and its END row
+    holds the inclusive prefix of everything up to and including the
+    segment, so per-segment sums are differences of ADJACENT dense
+    slots once the end-row prefixes are packed densely by one more sort
+    — no scatter and no carry-last-flagged scan (an earlier revision
+    scanned 8 carry channels; that alone doubled the lowered HLO at
+    venue scale and OOM-killed the remote TPU compile helper, and its
+    packing left phantom nonzero counts in slots past C — caught by
+    test_clustering.py::test_centroids_sorted_no_phantom_slots).
+
+    Returns (sums (K, D), counts (K,)); slots >= C are exactly zero."""
     n, d = points.shape
     cols = [points[:, i] for i in range(d)]
     sorted_all = jax.lax.sort((seg,) + tuple(cols), num_keys=1)
     seg_s = sorted_all[0]
-    cols_s = sorted_all[1:]
+    pts_s = jnp.stack(sorted_all[1:], axis=1)           # (n, d)
 
-    # double-float running prefix per coordinate (count prefix is exact
-    # in int32: n < 2^31)
-    prefixes = []
-    for c in cols_s:
-        s, e = jax.lax.associative_scan(
-            _df_add, (c, jnp.zeros_like(c)))
-        prefixes.extend([s, e])
-    cnt_prefix = jnp.cumsum(jnp.ones((n,), jnp.int32))
+    # ONE double-float prefix over all d coordinate channels, blocked
+    # (count prefix rides along as an int32 channel: exact, n < 2^31)
+    def op(a, b):
+        (s1, e1), c1 = a
+        (s2, e2), c2 = b
+        return _df_add((s1, e1), (s2, e2)), c1 + c2
+
+    (s_hi, s_lo), cnt_prefix = _blocked_prefix(
+        op, ((pts_s, jnp.zeros_like(pts_s)),
+             jnp.ones((n,), jnp.int32)))
 
     is_end = jnp.concatenate([seg_s[1:] != seg_s[:-1],
                               jnp.ones((1,), bool)])
-    # prefix value at the PREVIOUS segment end (zero for the first):
-    # shift the flagged values one right, then carry-last-flagged scan
-    chans = prefixes + [cnt_prefix.astype(jnp.float32)]
-
-    def shift(a):
-        return jnp.concatenate([jnp.zeros((1,), a.dtype), a[:-1]])
-
-    prev = _last_flagged(shift(is_end), [shift(c) for c in chans])
-
-    sums = []
-    for i in range(d):
-        s_hi = prefixes[2 * i] - prev[2 * i]
-        s_lo = prefixes[2 * i + 1] - prev[2 * i + 1]
-        sums.append(s_hi + s_lo)
-    cnt = chans[-1] - prev[-1]
-
-    # dense labels => the j-th end (in sorted order, ends with seg < k
-    # first) IS segment j; one sort drops the (sum, count) rows into
-    # dense segment slots, no scatter
+    # pack each end row's inclusive prefix into dense slot seg_s (ends
+    # of the noise/overflow bucket and non-end rows key to k, sorting
+    # after every real slot)
     key = jnp.where(is_end & (seg_s < k), seg_s, jnp.int32(k))
-    packed = jax.lax.sort((key,) + tuple(sums) + (cnt,), num_keys=1)
-    seg_sums = jnp.stack([p[:k] for p in packed[1:1 + d]], axis=1)
-    seg_cnt = packed[-1][:k]
-    return seg_sums, seg_cnt
+    packed = jax.lax.sort(
+        (key,)
+        + tuple(s_hi[:, i] for i in range(d))
+        + tuple(s_lo[:, i] for i in range(d))
+        + (cnt_prefix,), num_keys=1)
+    # slot j holds segment j's end iff the packed key equals j (dense
+    # ids: true exactly for j < C)
+    real = packed[0][:k] == jnp.arange(k, dtype=jnp.int32)
+    p_hi = jnp.stack(packed[1:1 + d], axis=1)[:k]
+    p_lo = jnp.stack(packed[1 + d:1 + 2 * d], axis=1)[:k]
+    p_cnt = packed[-1][:k]
+
+    def prev(a):
+        pad = jnp.zeros_like(a[:1])
+        return jnp.concatenate([pad, a[:-1]], axis=0)
+
+    seg_sums = jnp.where(
+        real[:, None],
+        (p_hi - prev(p_hi)) + (p_lo - prev(p_lo)), 0.0)
+    seg_cnt = jnp.where(real, p_cnt - prev(p_cnt), 0)
+    return seg_sums, seg_cnt.astype(points.dtype)
 
 
 def cluster_centroids(points: jnp.ndarray, labels: jnp.ndarray,

@@ -235,3 +235,32 @@ def test_modular_overflow_ceiling_raises(monkeypatch):
     pipe = Pipeline(MODULAR_CONFIG.with_capacity(cluster_column_cap=512))
     with pytest.raises(RuntimeError, match="brute force"):
         pipe.analyze(pts)
+
+
+def test_centroids_sorted_no_phantom_slots():
+    """The sort+scan centroid backend must leave slots past the dense
+    cluster count EXACTLY zero. The pre-r4 packing put partial prefix
+    rows there (counts > 0 -> phantom people at venue scale, where this
+    backend is the active one); and it must bit-agree with the
+    segment_sum backend on the real slots."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    n, n_clusters, k = 20_000, 153, 256
+    pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    labels = rng.randint(-1, n_clusters, n).astype(np.int32)
+    seg = jnp.where(jnp.asarray(labels) >= 0, jnp.asarray(labels), k)
+
+    sums, cnts = clustering._centroids_sorted(
+        jnp.asarray(pts), seg.astype(jnp.int32), k)
+    sums, cnts = np.asarray(sums), np.asarray(cnts)
+
+    assert cnts[n_clusters:].sum() == 0
+    assert np.abs(sums[n_clusters:]).sum() == 0
+
+    ref_s = jax.ops.segment_sum(jnp.asarray(pts), seg,
+                                num_segments=k + 1)[:k]
+    ref_c = jax.ops.segment_sum(jnp.ones(n, jnp.float32), seg,
+                                num_segments=k + 1)[:k]
+    np.testing.assert_array_equal(cnts, np.asarray(ref_c))
+    np.testing.assert_allclose(sums, np.asarray(ref_s), atol=2e-3)
