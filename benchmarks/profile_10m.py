@@ -56,8 +56,15 @@ def main():
            "stages_ms": {}}
 
     def rec(name, fn, argfn, pull):
+        # a transient tunnel error on one stage must not lose the rest
+        # of the profile (observed: "response body closed" mid-run)
         f = jax.jit(fn)
-        dt = device_timer(f, argfn, pull, iters=args.iters)
+        try:
+            dt = device_timer(f, argfn, pull, iters=args.iters)
+        except Exception as e:
+            out["stages_ms"][name] = None
+            out.setdefault("stage_errors", {})[name] = repr(e)[:200]
+            return None
         out["stages_ms"][name] = round(dt * 1000, 2)
         return f(*argfn(0))
 
@@ -107,6 +114,8 @@ def main():
         return dm.extract_people(proc, cfg)
     people = rec("extract_people", people_only, lambda i: (processed,),
                  lambda r: r.mask)
+    if people is None:
+        people = jax.jit(people_only)(processed)
     out["n_people"] = int(np.asarray(people.count))
 
     dens = functools.partial(dm.analyze_density, config=cfg)
