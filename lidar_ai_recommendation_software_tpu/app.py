@@ -133,13 +133,22 @@ def main():  # driven by tests/test_app_lifecycle.py via a scripted fake
 
     with tabs[2]:
         st.header("Analyze")
-        variant = st.radio("Variant", ["monolith", "modular"],
-                           horizontal=True)
+        variant = st.radio("Variant", ["monolith", "modular", "neural"],
+                           horizontal=True,
+                           help="neural serves CrowdNet (one MXU "
+                                "forward pass, packaged checkpoint) "
+                                "instead of the analytic pipeline")
         if ss.points is not None and st.button("Run analysis"):
-            cfg = (MONOLITH_CONFIG if variant == "monolith"
-                   else MODULAR_CONFIG)
-            with st.spinner("Running TPU pipeline..."):
-                ss.results = Pipeline(cfg).analyze(ss.points)
+            if variant == "neural":
+                from lidar_ai_recommendation_software_tpu.neural import (
+                    NeuralPipeline)
+                with st.spinner("Running CrowdNet forward pass..."):
+                    ss.results = NeuralPipeline().analyze(ss.points)
+            else:
+                cfg = (MONOLITH_CONFIG if variant == "monolith"
+                       else MODULAR_CONFIG)
+                with st.spinner("Running TPU pipeline..."):
+                    ss.results = Pipeline(cfg).analyze(ss.points)
             st.success("done")
             if autosave:  # per-stage save (app_with_db.py:1238,1279)
                 s = store()

@@ -256,3 +256,30 @@ def test_autosave_off_touches_no_db(fake_app, tmp_path):
     store = ResultsStore(db_path)
     assert store.list_events() == []
     store.close()
+
+
+def test_neural_variant_serves_and_autosaves(fake_app):
+    """The Analyze tab's 'neural' variant serves CrowdNet end-to-end
+    through the app — results render the same metric surface and the
+    per-stage auto-save writes the same rows as the analytic variants."""
+    from lidar_ai_recommendation_software_tpu.utils.store import (
+        ResultsStore)
+
+    fake, rerun, db_path = fake_app
+    fake.script["Use generated sample data"] = True
+    rerun()
+    fake.script["Use generated sample data"] = False
+
+    fake.script["Variant"] = "neural"
+    fake.script["Run analysis"] = True
+    rerun()
+    fake.script["Run analysis"] = False
+
+    s = ResultsStore(db_path)
+    analyses = s.analyses_for_event(1)
+    assert len(analyses) == 1 and analyses[0]["has_density"]
+    aid = analyses[0]["id"]
+    d = s.get_density_results(aid)
+    assert d["total_people"] > 0  # the count head, through the app
+    assert s.get_flow_results(aid)["dominant_direction"] in {
+        "E", "NE", "N", "NW", "W", "SW", "S", "SE"}
