@@ -264,3 +264,35 @@ def test_centroids_sorted_no_phantom_slots():
                                 num_segments=k + 1)[:k]
     np.testing.assert_array_equal(cnts, np.asarray(ref_c))
     np.testing.assert_allclose(sums, np.asarray(ref_s), atol=2e-3)
+
+
+def test_blocked_prefix_matches_flat_scan():
+    """_blocked_prefix (the compile-size-bounded hierarchical prefix)
+    must agree with a flat associative_scan across block boundaries,
+    non-multiple lengths, and pytree channels."""
+    import jax
+
+    from lidar_ai_recommendation_software_tpu.ops import clustering
+
+    rng = np.random.RandomState(3)
+    n = 3 * 1000 + 77  # crosses blocks, not a multiple of the block
+    x = rng.uniform(-50, 50, (n, 2)).astype(np.float32)
+
+    def op(a, b):
+        (s1, e1), c1 = a
+        (s2, e2), c2 = b
+        return clustering._df_add((s1, e1), (s2, e2)), c1 + c2
+
+    xs = ((jnp.asarray(x), jnp.zeros_like(x)),
+          jnp.ones((n,), jnp.int32))
+    (bh, bl), bc = clustering._blocked_prefix(op, xs, block=1000)
+    (fh, fl), fc = jax.lax.associative_scan(op, xs)
+
+    np.testing.assert_allclose(np.asarray(bh) + np.asarray(bl),
+                               np.asarray(fh) + np.asarray(fl),
+                               rtol=1e-6, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(bc), np.asarray(fc))
+    # exactness of the final double-float total vs float64
+    want = x.astype(np.float64).sum(axis=0)
+    got = (np.asarray(bh) + np.asarray(bl))[-1]
+    np.testing.assert_allclose(got, want, atol=1e-3)
