@@ -102,6 +102,22 @@ def main():
             f"p/m² speed={out['flow']['avg_speed']:.2f} m/s")
         show_figure(viz.density_heatmap_figure(d, engine="matplotlib"))
 
+    def run_neural_analysis():
+        if not pm.datasets:
+            messagebox.showwarning("No data", "import a dataset first")
+            return
+        from lidar_ai_recommendation_software_tpu.neural import (
+            NeuralPipeline)
+        set_status("running CrowdNet forward pass...")
+        root.update_idletasks()
+        out = NeuralPipeline().analyze(pm.datasets[0].points)
+        d = out["density"]
+        set_status(
+            f"[neural] people={d['total_people']} "
+            f"max={d['max_density']:.2f} p/m² "
+            f"speed={out['flow']['avg_speed']:.2f} m/s")
+        show_figure(viz.density_heatmap_figure(d, engine="matplotlib"))
+
     def generate_report():
         if not pm.datasets:
             messagebox.showwarning("No data", "import a dataset first")
@@ -133,6 +149,8 @@ def main():
     analysismenu = tk.Menu(menubar, tearoff=0)
     analysismenu.add_command(label="Run Analysis", accelerator="F5",
                              command=run_analysis)
+    analysismenu.add_command(label="Run Neural Analysis",
+                             command=run_neural_analysis)
     analysismenu.add_command(label="Generate Report...",
                              command=generate_report)
     menubar.add_cascade(label="Analysis", menu=analysismenu)

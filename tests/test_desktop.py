@@ -233,3 +233,32 @@ def test_desktop_status_reflects_analysis(fake_tk, tmp_path):
     FakeTk.script = staticmethod(script)
     desktop.main()
     assert "people=" in seen["status"] and "m/s" in seen["status"]
+
+
+def test_desktop_neural_analysis(fake_tk, tmp_path):
+    """The Analysis menu's neural entry serves CrowdNet through the
+    shell: real count in the statusbar, heatmap rendered."""
+    from lidar_ai_recommendation_software_tpu import desktop
+    from lidar_ai_recommendation_software_tpu.synthetic import sample_venue
+    from lidar_ai_recommendation_software_tpu.utils import io as pio
+
+    pts = sample_venue(n_points=2048, n_people=25, seed=8)
+    npy = tmp_path / "v.npy"
+    pio.save_points(str(npy), pts)
+    fd = fake_tk.filedialog
+    seen = {}
+
+    def script(root):
+        menus = root.menubar.cascades
+        fd.queue.append(str(npy))
+        menus["File"].commands["Import Data..."]()
+        drawn_before = FakeCanvas.drawn
+        menus["Analysis"].commands["Run Neural Analysis"]()
+        seen["status"] = FakeStringVar.instances[-1].get()
+        seen["drew"] = FakeCanvas.drawn == drawn_before + 1
+        root.destroy()
+
+    FakeTk.script = staticmethod(script)
+    desktop.main()
+    assert seen["status"].startswith("[neural] people=")
+    assert seen["drew"]
