@@ -47,11 +47,18 @@ import numpy as np
 STAGE_TIMEOUT_S = float(os.environ.get("LIDAR_BENCH_STAGE_TIMEOUT", 900))
 
 
+TIMED_OUT = []  # labels of stages abandoned mid-flight (thread lives on)
+
+
 def run_guarded(fn, label, detail, timeout_s=None):
     """Run ``fn`` in a daemon thread with a deadline. Returns its value,
     or None after recording the error/timeout under detail.stage_errors.
     Daemon thread (not a pool): a worker wedged inside a device call must
-    not block interpreter exit."""
+    not block interpreter exit.
+
+    A TIMED-OUT stage's thread keeps running against the device, so any
+    later device stage may race it: the caller re-inits the backend and
+    the record marks such results under detail.measured_after_timeout."""
     timeout_s = STAGE_TIMEOUT_S if timeout_s is None else timeout_s
     box = {}
 
@@ -65,8 +72,13 @@ def run_guarded(fn, label, detail, timeout_s=None):
     t.start()
     t.join(timeout=timeout_s)
     if "val" in box:
+        if TIMED_OUT:
+            detail.setdefault("measured_after_timeout", {})[label] = (
+                list(TIMED_OUT))
         return box["val"]
     err = box.get("err", "timeout after %.0fs" % timeout_s)
+    if "err" not in box:
+        TIMED_OUT.append(label)
     detail.setdefault("stage_errors", {})[label] = err
     print("bench stage %r failed: %s" % (label, err), file=sys.stderr)
     return None
@@ -159,7 +171,20 @@ def main():
     # block_until_ready returns at enqueue time, so only a host read of
     # the final result gives honest wall-clock (device execution
     # serialises, so the pull fences the whole run).
+    state = {"pipe": pipe, "seen_timeouts": 0}
+
+    def fresh_after_timeout():
+        """After any stage timeout the abandoned thread may still hold
+        the backend: re-init it and route later stages through a fresh
+        Pipeline (ADVICE r4) so their timings aren't silently shared."""
+        if len(TIMED_OUT) > state["seen_timeouts"]:
+            state["seen_timeouts"] = len(TIMED_OUT)
+            detail.setdefault("backend_reinit_after_timeout", []).append(
+                reinit_backend())
+            state["pipe"] = Pipeline(MONOLITH_CONFIG)
+
     def measure(pts, iters):
+        pipe = state["pipe"]
         cfg = pipe.fit_capacity(pts)
         clouds = [PointCloud.from_numpy(pts + i * 1e-4,
                                         cfg.capacity.max_points)
@@ -174,6 +199,7 @@ def main():
         return len(pts) / sec, sec
 
     # ---- stage 2: headline 1M throughput ----
+    fresh_after_timeout()
     pts_big = scaled_venue(n_tpu)
     res = run_guarded(lambda: measure(pts_big, iters=4),
                       "throughput_1m", detail)
@@ -187,6 +213,8 @@ def main():
     # 10M+ scans); skipped when the headline size was overridden ----
     if (n_tpu == 1_000_000
             and os.environ.get("LIDAR_BENCH_10M", "1") == "1"):
+        fresh_after_timeout()
+
         def tail():
             pts_10m = scaled_venue(10_000_000)
             return measure(pts_10m, iters=2)
@@ -200,6 +228,8 @@ def main():
     # ---- stage 4: fused SA layer (BASELINE.json north star: FPS + ball
     # query + SA kernels) ----
     if os.environ.get("LIDAR_BENCH_SA", "1") == "1":
+        fresh_after_timeout()
+
         def sa_stage():
             import jax
             import jax.numpy as jnp

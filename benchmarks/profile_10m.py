@@ -115,7 +115,15 @@ def main():
     people = rec("extract_people", people_only, lambda i: (processed,),
                  lambda r: r.mask)
     if people is None:
-        people = jax.jit(people_only)(processed)
+        # recompute guarded too: the same transient tunnel error must
+        # not abort the whole profile (ADVICE r4)
+        try:
+            people = jax.jit(people_only)(processed)
+        except Exception as e:
+            out.setdefault("stage_errors", {})["extract_people_retry"] = (
+                repr(e)[:200])
+            print(json.dumps(out, indent=2))
+            return
     out["n_people"] = int(np.asarray(people.count))
 
     dens = functools.partial(dm.analyze_density, config=cfg)

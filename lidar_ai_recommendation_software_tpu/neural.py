@@ -92,8 +92,39 @@ class NeuralPipeline:
         self.model: BatchedCrowdNet = make_model(
             dataclasses.replace(self.train_config,
                                 use_pallas=use_pallas))
+        self._validate_params(path)
         self._apply = jax.jit(self.model.apply)
         self._rng = np.random.RandomState(0)
+
+    def _validate_params(self, path: str) -> None:
+        """Check the (possibly migrated) checkpoint tree against the
+        model's expected shapes so a format mismatch fails HERE with a
+        named error, not at apply time with an opaque flax one
+        (ADVICE r4: a differently-nested legacy tree skips migration)."""
+        n_cap = self.train_config.n_points
+        expected = jax.eval_shape(
+            lambda: self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, n_cap, 3), jnp.float32),
+                jnp.ones((1, n_cap), bool),
+                jnp.zeros((1, 2), jnp.float32),
+                jnp.ones((1,), jnp.float32)))["params"]
+        exp_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                     jax.tree_util.tree_leaves_with_path(expected)}
+        got_paths = {jax.tree_util.keystr(k): np.shape(v) for k, v in
+                     jax.tree_util.tree_leaves_with_path(self.params)}
+        if exp_paths != got_paths:
+            missing = sorted(set(exp_paths) - set(got_paths))[:5]
+            extra = sorted(set(got_paths) - set(exp_paths))[:5]
+            wrong = sorted(
+                k for k in set(exp_paths) & set(got_paths)
+                if exp_paths[k] != got_paths[k])[:5]
+            raise ValueError(
+                f"checkpoint {path!r} does not match the CrowdNet "
+                f"parameter tree (format mismatch): "
+                f"missing={missing} unexpected={extra} "
+                f"wrong_shape={wrong}. Retrain with `lidar-crowd train` "
+                f"or pass a compatible checkpoint.")
 
     # -- device step --------------------------------------------------------
 

@@ -11,9 +11,9 @@ Improvements over the reference (documented deviations):
   - LAS: real header parsing (point formats 0-5), true scale/offset from
     the header, no 10,000-point cap and no hardcoded 0.01 scale
     (data_loader.py:410,422 caps and fakes both "for demonstration").
-  - PCD: binary and binary_compressed rejected with a clear error instead
-    of a parse crash; ASCII fields located via the FIELDS header rather
-    than assuming xyz-first.
+  - PCD: ascii, binary AND binary_compressed (LZF) are all parsed
+    (the reference's loaders handle ascii only and crash on the rest);
+    fields located via the FIELDS header rather than assuming xyz-first.
   - PLY: handles binary_little_endian in addition to ASCII.
   - All text parsing is vectorised NumPy (the reference's per-line float
     loops are the slowest ingest path it has).

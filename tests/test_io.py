@@ -80,3 +80,41 @@ def test_ply_binary_little_endian(tmp_path, pts):
         f.write(pts.astype("<f4").tobytes())
     out = pio.load_points(p)
     np.testing.assert_allclose(out, pts, atol=1e-4)
+
+
+def _pcd_header(n, mode):
+    return (b"# .PCD v0.7\nVERSION 0.7\n"
+            b"FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            + f"WIDTH {n}\nHEIGHT 1\nPOINTS {n}\n".encode()
+            + f"DATA {mode}\n".encode())
+
+
+def test_pcd_binary(tmp_path, pts):
+    p = str(tmp_path / "bin.pcd")
+    with open(p, "wb") as f:
+        f.write(_pcd_header(len(pts), "binary"))
+        f.write(pts.astype("<f4").tobytes())
+    out = pio.load_points(p)
+    np.testing.assert_allclose(out, pts, atol=1e-4)
+
+
+def test_pcd_binary_compressed_lzf(tmp_path, pts):
+    # literal-only runs (ctrl byte = len-1 < 32) are valid LZF, so the
+    # fixture needs no compressor; body layout is SoA per the PCD spec
+    soa = pts.astype("<f4").T.copy().tobytes()
+    comp = b"".join(bytes([len(chunk) - 1]) + chunk
+                    for chunk in (soa[i:i + 32]
+                                  for i in range(0, len(soa), 32)))
+    p = str(tmp_path / "comp.pcd")
+    with open(p, "wb") as f:
+        f.write(_pcd_header(len(pts), "binary_compressed"))
+        f.write(np.asarray([len(comp), len(soa)], "<u4").tobytes())
+        f.write(comp)
+    out = pio.load_points(p)
+    np.testing.assert_allclose(out, pts, atol=1e-4)
+
+
+def test_pcd_binary_compressed_python_fallback(tmp_path, pts, monkeypatch):
+    from lidar_ai_recommendation_software_tpu.utils import native
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    test_pcd_binary_compressed_lzf(tmp_path, pts)

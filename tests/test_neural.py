@@ -194,6 +194,27 @@ def test_legacy_checkpoint_without_count_head_serves(tmp_path, pipe):
                                            "opportunities"}
 
 
+def test_mismatched_checkpoint_raises_named_error(tmp_path):
+    """A checkpoint whose tree neither matches the model nor fits the
+    legacy migration must fail at load with a ValueError naming the
+    format mismatch, not at apply time with an opaque flax error
+    (ADVICE r4)."""
+    src = neural.default_checkpoint_path()
+    broken = tmp_path / "broken.npz"
+    with np.load(src, allow_pickle=False) as z:
+        kept = {k: z[k] for k in z.files}
+    # drop one count-head param and corrupt another's shape: the
+    # partial count head defeats the has-density/no-count migration gate
+    drop = [k for k in kept if "count_head" in k][0]
+    del kept[drop]
+    wk = [k for k in kept if k.endswith("kernel") and "__cfg__" not in k][0]
+    kept[wk] = kept[wk][..., :1]
+    np.savez_compressed(broken, **kept)
+
+    with pytest.raises(ValueError, match="format mismatch"):
+        neural.NeuralPipeline(str(broken), use_pallas=False)
+
+
 def test_cli_analyze_neural_smoke(tmp_path, capsys):
     """lidar-crowd analyze --neural uses the packaged checkpoint."""
     from lidar_ai_recommendation_software_tpu import cli

@@ -52,8 +52,17 @@ def main() -> int:
         "p = os.path.join(tempfile.mkdtemp(), 'venue.npy')\n"
         "np.save(p, pts)\n"
         "sys.exit(cli.main(['analyze', p, '--neural']))\n")
-    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                          capture_output=True, text=True, timeout=600)
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                              env=env, capture_output=True, text=True,
+                              timeout=600)
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"")
+        out = out.decode("utf-8", "replace") if isinstance(out, bytes) \
+            else out
+        print("RELEASE GATE FAILED: CLI neural smoke hung (600s)\n"
+              + out[-1000:], file=sys.stderr)
+        return 1
     if proc.returncode != 0 or "people" not in proc.stdout.lower():
         print("RELEASE GATE FAILED: CLI neural smoke\n"
               + proc.stdout[-1000:] + proc.stderr[-1000:],
