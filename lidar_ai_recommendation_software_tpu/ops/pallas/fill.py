@@ -1,0 +1,294 @@
+"""Streaming column-table fill/extract as MXU dispatch-matmuls.
+
+Round-4 profiling showed the CCL column-table BUILD — one XLA width-4
+scatter of ~10.5M rows — costs ~1.0 s at 10M points (~20M rows/s,
+scatter-latency-bound, ~1.6% of HBM roofline), and the label RETURN
+(one ~10.5M-element gather from the 29M-slot table) costs a comparable
+fraction.  TPU has no fast scatter/gather, but it has a 128x128 MXU:
+this module re-expresses both data movements as ONE-HOT MATMULS over
+tiles of the cell-sorted point stream — the same "dispatch einsum"
+trick MoE routers use (Switch Transformer) to place tokens without a
+scatter.
+
+Layout recap (ops/ccl.py): the table is SoA planes ``(PX, CAP, PYP)``
+(x-row, column slot, y-lane).  Points sorted by cell id are CONTIGUOUS
+per x-row, so a flat grid of stream tiles — each tile assigned to one
+output row, rows visited in ascending order, boundary tiles duplicated
+— lets every kernel step compute
+
+    C[s, y] += sum_k  v_k * [slot_k == s] * [y_k == y] * [row_k == row]
+
+as an (5*CAP, T) @ (T, PYP) f32 matmul whose LHS carries the slot
+one-hots times the 5 value lanes (x, y, z, point-index, occupancy) and
+whose RHS carries the y one-hots.  Each (slot, y) receives at most one
+point, so the sums are exact in f32 (point indices < 2^24 are f32
+exact).  The tile->row schedule rides PrefetchScalarGridSpec: block
+index maps read prefetched SMEM scalars — no data-dependent DMA
+offsets, no in-kernel scalar VMEM loads (the two Mosaic constraints
+that killed the round-4 streaming-fill prototypes).
+
+The EXTRACT direction (labels back to stream order) is the transposed
+product: tmp = Lb @ Yonehot^T, then a slot-select reduction on the VPU.
+
+Replaces: the reference's per-point Python grid fill inside sklearn
+DBSCAN (utils/data_processing.py:188-198) at TPU scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+# f32-exact sentinel for "no label": must survive the f32 matmul ride
+# and compare greater than any real point index (< 2^24).
+F32_SENTINEL = (1 << 24) - 1
+
+_T = 512  # stream tile length (lanes; multiple of 128)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def tile_schedule(srow_sorted: jnp.ndarray, px: int, n_tiles: int,
+                  tile: int = _T
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+    """Flat (tile, row) visit schedule over the cell-sorted stream.
+
+    For each output x-row r (ascending), visit every stream tile that
+    holds one of its points — boundary tiles are visited once per row
+    they straddle; empty rows get one (fully masked) visit so their
+    output block is still initialised.  Schedule padding then walks any
+    trailing tiles no row touched (tiles of mask-padding points) under
+    the empty top border row, so tile-indexed outputs (extract) are
+    fully initialised too.  Returns int32 arrays of static length
+    G = n_tiles + px + 8:
+
+      g_row       output x-row of this visit
+      g_block     stream-tile index of this visit
+      g_first_row 1 on the first visit of each row (fill: block init)
+      g_first_blk 1 on the first visit of each tile (extract: acc init)
+    """
+    g_max = n_tiles + px + 8
+    rows = jnp.arange(px + 1, dtype=jnp.int32)
+    row_start = jnp.searchsorted(srow_sorted, rows).astype(jnp.int32)
+    count = row_start[1:] - row_start[:-1]                    # (px,)
+    start_blk = row_start[:-1] // tile
+    end_blk = jnp.where(count > 0, (row_start[1:] - 1) // tile,
+                        start_blk)
+    span = jnp.where(count > 0, end_blk - start_blk + 1, 1)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(span, dtype=jnp.int32)])
+    g_total = offsets[-1]
+    maxblk = jnp.max(jnp.where(count > 0, end_blk, 0))
+
+    gidx = jnp.arange(g_max, dtype=jnp.int32)
+    row_of = jnp.clip(
+        jnp.searchsorted(offsets, gidx, side="right").astype(jnp.int32)
+        - 1, 0, px - 1)
+    j = gidx - offsets[row_of]
+    pad = gidx >= g_total
+    # padding entries continue under the last row (px-1: the empty top
+    # border row — no point has it, so contributions stay masked) and
+    # sweep the uncovered tile tail once each
+    pad_rank = gidx - g_total
+    pad_blk_raw = maxblk + 1 + pad_rank
+    last = max(n_tiles - 1, 0)
+    g_row = jnp.where(pad, px - 1, row_of)
+    g_block = jnp.where(pad, jnp.clip(pad_blk_raw, 0, last),
+                        jnp.clip(start_blk[row_of] + j, 0, last))
+    g_first_row = ((j == 0) & ~pad).astype(jnp.int32)
+    prev_blk = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                g_block[:-1]])
+    # pad entries init a block only when it is genuinely new (unclamped
+    # index in range): a clamped duplicate must never re-init the final
+    # tile, which can hold real points when maxblk == n_tiles-1
+    g_first_blk = jnp.where(
+        pad, (pad_blk_raw <= last) & (pad_blk_raw > maxblk),
+        g_block != prev_blk).astype(jnp.int32)
+    return g_row, g_block, g_first_row, g_first_blk
+
+
+# ---------------------------------------------------------------------------
+# fill: sorted stream -> (PX, 5*CAP, PYP) accumulator planes
+# ---------------------------------------------------------------------------
+
+def _fill_kernel(cap: int, gr, gb, gfr, gfb,
+                 srow, sy, sslot, sx, syc, sz, sidx, out_ref):
+    g = pl.program_id(0)
+    row = gr[g]
+
+    # everything stays lane-major ((1, T) stream views): the y one-hot
+    # is built TRANSPOSED (PYP, T) so no (T, 1) relayouts/padded HBM
+    # views are ever needed, and the contraction runs over the lane dim
+    # of both operands (an "NT" matmul the MXU feeds natively)
+    t = srow.shape[2]
+    pyp = out_ref.shape[2]
+    inrow = srow[0] == row                                    # (1, T)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (pyp, t), 0)
+    rhs_t = jnp.where((iota_y == sy[0]) & inrow, 1.0, 0.0)    # (PYP, T)
+
+    # (5*CAP, T) LHS: slot one-hot scaled by each value lane
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, t), 0)
+    onehot = jnp.where(iota_s == sslot[0], 1.0, 0.0)          # (CAP, T)
+    lanes = (sx[0], syc[0], sz[0], sidx[0],
+             jnp.ones_like(sx[0]))                            # each (1, T)
+    lhs = jnp.concatenate([onehot * v for v in lanes], axis=0)
+
+    contrib = jax.lax.dot_general(
+        lhs, rhs_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (5CAP, PYP)
+
+    @pl.when(gfr[g] == 1)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(gfr[g] == 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def fill_planes(srow: jnp.ndarray, sy: jnp.ndarray, sslot: jnp.ndarray,
+                sx: jnp.ndarray, syc: jnp.ndarray, sz: jnp.ndarray,
+                sidx: jnp.ndarray, px: int, cap: int, pyp: int,
+                tile: int = _T) -> jnp.ndarray:
+    """Build the (PX, 5*CAP, PYP) f32 accumulator from the cell-sorted
+    stream (all inputs (N,) in sorted order; padding rows carry
+    srow >= px).  Slices [p*CAP:(p+1)*CAP] hold x, y, z, point-index and
+    occupancy; unoccupied slots are exactly 0 in every plane, occupied
+    ones carry the single contributing point's values exactly."""
+    n = srow.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    n_tiles = n_pad // tile
+
+    def pad1(a, fill):
+        return jnp.pad(a, (0, n_pad - n), constant_values=fill)
+
+    srow_p = pad1(srow, px)
+    sy_p = pad1(sy, 0)
+    sslot_p = pad1(sslot, cap)      # >= cap: never matches the one-hot
+    sx_p, syc_p, sz_p, sidx_p = (pad1(a, 0.0)
+                                 for a in (sx, syc, sz, sidx))
+
+    g_row, g_block, g_first_row, g_first_blk = tile_schedule(
+        srow_p, px, n_tiles, tile)
+
+    def in_l(a):        # (n_tiles, 1, T) — stream values on lanes
+        return a.reshape(n_tiles, 1, tile)
+
+    blk = lambda: pl.BlockSpec(
+        (1, 1, tile), lambda g, gr, gb, gfr, gfb: (gb[g], 0, 0),
+        memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(g_row.shape[0],),
+        in_specs=[blk() for _ in range(7)],
+        out_specs=pl.BlockSpec((1, 5 * cap, pyp),
+                               lambda g, gr, gb, gfr, gfb: (gr[g], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fill_kernel, cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((px, 5 * cap, pyp), jnp.float32),
+        interpret=_interpret(),
+    )(g_row, g_block, g_first_row, g_first_blk,
+      in_l(srow_p), in_l(sy_p), in_l(sslot_p),
+      in_l(sx_p), in_l(syc_p), in_l(sz_p), in_l(sidx_p))
+
+
+# ---------------------------------------------------------------------------
+# extract: (PX, CAP, PYP) labels -> stream order
+# ---------------------------------------------------------------------------
+
+def _extract_kernel(cap: int, gr, gb, gfr, gfb,
+                    srow, sy, sslot, lab_ref, out_ref, acc_ref):
+    g = pl.program_id(0)
+    row = gr[g]
+    t = srow.shape[2]
+    pyp = lab_ref.shape[2]
+
+    # lane-native throughout: yhot is built transposed (PYP, T), the
+    # matmul is a standard (CAP, PYP) @ (PYP, T), and the slot-select
+    # reduction collapses sublanes into a (1, T) lane vector
+    inrow = srow[0] == row                                    # (1, T)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (pyp, t), 0)
+    yhot_t = jnp.where((iota_y == sy[0]) & inrow, 1.0, 0.0)   # (PYP, T)
+
+    lab = lab_ref[0]                                          # (CAP, PYP)
+    tmp_t = jax.lax.dot(lab, yhot_t,
+                        preferred_element_type=jnp.float32)   # (CAP, T)
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, t), 0)
+    picked = jnp.where(iota_s == sslot[0], tmp_t, 0.0)
+    val = jnp.sum(picked, axis=0, keepdims=True)              # (1, T)
+    val = jnp.where(inrow, val, 0.0)
+
+    @pl.when(gfb[g] == 1)
+    def _():
+        acc_ref[...] = val
+
+    @pl.when(gfb[g] == 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + val
+
+    out_ref[...] = acc_ref[...][None]
+
+
+def extract_stream(labels_f32: jnp.ndarray, srow: jnp.ndarray,
+                   sy: jnp.ndarray, sslot: jnp.ndarray,
+                   tile: int = _T) -> jnp.ndarray:
+    """Read labels back in stream order: out[k] = labels[srow_k,
+    slot_k, y_k] (f32 ride; padding / overflow positions return 0).
+    ``labels_f32`` is (PX, CAP, PYP) float32 with values < 2^24."""
+    px, cap, pyp = labels_f32.shape
+    n = srow.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    n_tiles = n_pad // tile
+
+    srow_p = jnp.pad(srow, (0, n_pad - n), constant_values=px)
+    sy_p = jnp.pad(sy, (0, n_pad - n))
+    sslot_p = jnp.pad(sslot, (0, n_pad - n), constant_values=cap)
+
+    g_row, g_block, g_first_row, g_first_blk = tile_schedule(
+        srow_p, px, n_tiles, tile)
+
+    def in_l(a):
+        return a.reshape(n_tiles, 1, tile)
+
+    blk = lambda: pl.BlockSpec(
+        (1, 1, tile), lambda g, gr, gb, gfr, gfb: (gb[g], 0, 0),
+        memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(g_row.shape[0],),
+        in_specs=[blk(), blk(), blk(),
+                  pl.BlockSpec((1, cap, pyp),
+                               lambda g, gr, gb, gfr, gfb: (gr[g], 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, tile),
+                               lambda g, gr, gb, gfr, gfb: (gb[g], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_extract_kernel, cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
+        interpret=_interpret(),
+    )(g_row, g_block, g_first_row, g_first_blk,
+      in_l(srow_p), in_l(sy_p), in_l(sslot_p), labels_f32)
+    return out.reshape(n_pad)[:n]
