@@ -225,6 +225,86 @@ def main():
             detail["points_per_sec_10m"] = round(res[0])
             detail["step_ms_10m"] = round(res[1] * 1000, 1)
 
+    # ---- stage 3.5: per-stage roofline accounting (VERDICT r4 item 3:
+    # the record must say how far each dominant stage sits from
+    # speed-of-light, not just points/s) ----
+    if (record["value"] and os.environ.get("LIDAR_BENCH_ROOFLINE", "1")
+            == "1"):
+        def stage_roofline():
+            import functools
+
+            import jax
+            import jax.numpy as jnp
+
+            from lidar_ai_recommendation_software_tpu import (
+                preprocess as pp)
+            from lidar_ai_recommendation_software_tpu.models import (
+                density as dm)
+            from lidar_ai_recommendation_software_tpu.ops import (
+                clustering)
+            from lidar_ai_recommendation_software_tpu.utils import (
+                profiling)
+
+            pipe_l = state["pipe"]
+            cfg = pipe_l.fit_capacity(pts_big)
+            cap = cfg.capacity
+            pc = cfg.preprocess
+            clouds = [PointCloud.from_numpy(pts_big + i * 1e-4,
+                                            cap.max_points)
+                      for i in range(3)]
+            pre = jax.jit(functools.partial(pp.preprocess, config=cfg))
+            processed = jax.block_until_ready(pre(clouds[0]))
+            people = jax.block_until_ready(jax.jit(functools.partial(
+                dm.extract_people, config=cfg))(processed))
+
+            def cluster_only(cloud):
+                return clustering.dbscan_labels(
+                    cloud.points, cloud.mask, pc.dbscan_eps,
+                    pc.dbscan_min_samples, ncx=cap.cluster_cells_x,
+                    ncy=cap.cluster_cells_y,
+                    column_cap=cap.cluster_column_cap,
+                    max_iters=cap.max_cc_iters)[1]
+
+            stages = {
+                "clustering": (cluster_only,
+                               lambda i: (clouds[i % 3],), lambda r: r),
+                "extract_people": (
+                    functools.partial(dm.extract_people, config=cfg),
+                    lambda i: (processed,), lambda r: r.mask),
+                "density": (
+                    functools.partial(dm.analyze_density, config=cfg),
+                    lambda i: (processed, people),
+                    lambda r: r.max_density),
+            }
+            from lidar_ai_recommendation_software_tpu.ops import ccl
+            pyp = ccl._round_up(cap.cluster_cells_y + 2, 128)
+            slots = ((cap.cluster_cells_x + 2) * cap.cluster_column_cap
+                     * pyp)
+            costs = profiling.pipeline_stage_costs(
+                n_points=cap.max_points, n_people=cap.max_people,
+                table_slots=slots, column_cap=cap.cluster_column_cap,
+                pyp=pyp,
+                grid_cells=cap.grid_cells_x * cap.grid_cells_y,
+                bucket_cap=64)
+            out = {}
+            for name, (f, argfn, pull) in stages.items():
+                from lidar_ai_recommendation_software_tpu.utils.\
+                    profiling import device_timer
+                sec = device_timer(jax.jit(f), argfn, pull, iters=2)
+                r = profiling.roofline(costs[name]["flops"],
+                                       costs[name]["bytes"], sec)
+                r = {k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in r.items()}
+                r["ms"] = round(sec * 1000, 2)
+                r["modeled_flops"] = costs[name]["flops"]
+                r["modeled_bytes"] = costs[name]["bytes"]
+                out[name] = r
+            return out
+
+        res = run_guarded(stage_roofline, "stage_roofline", detail)
+        if res is not None:
+            detail["stage_roofline"] = res
+
     # ---- stage 4: fused SA layer (BASELINE.json north star: FPS + ball
     # query + SA kernels) ----
     if os.environ.get("LIDAR_BENCH_SA", "1") == "1":
@@ -268,6 +348,22 @@ def main():
         if res is not None:
             detail["sa_layer_fused_ms"] = round(res[0] * 1000, 2)
             detail["sa_layer_points_per_sec"] = round(res[1] / res[0])
+            # roofline: FPS (4 flops/pt/sample) + ball query (8) +
+            # grouped MLP; min bytes = points read + groups rw + out
+            try:
+                from lidar_ai_recommendation_software_tpu.utils import (
+                    profiling)
+                n_sa, m_sa, k_sa = 100_000, 4096, 32
+                mlp = 2 * m_sa * k_sa * (3 * 32 + 32 * 32 + 32 * 64)
+                flops = m_sa * n_sa * (4 + 8) + mlp
+                bytes_ = (n_sa * 12 + 2 * m_sa * k_sa * 3 * 4
+                          + m_sa * 64 * 4)
+                r = profiling.roofline(flops, bytes_, res[0])
+                detail["sa_layer_roofline"] = {
+                    k: (round(v, 3) if isinstance(v, float) else v)
+                    for k, v in r.items()}
+            except Exception:
+                pass
 
     def device_name():
         import jax

@@ -146,8 +146,13 @@ def _fill_kernel(cap: int, gr, gb, gfr, gfb,
              jnp.ones_like(sx[0]))                            # each (1, T)
     lhs = jnp.concatenate([onehot * v for v in lanes], axis=0)
 
+    # Precision.HIGHEST: the TPU's default single-pass bf16 matmul
+    # truncates the ridden values (coords, point indices) to 8 mantissa
+    # bits — measured at 10M points it silently corrupted every label.
+    # HIGHEST (multi-pass bf16) is exact for one-hot x f32 products.
     contrib = jax.lax.dot_general(
         lhs, rhs_t, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)                   # (5CAP, PYP)
 
     @pl.when(gfr[g] == 1)
@@ -229,6 +234,7 @@ def _extract_kernel(cap: int, gr, gb, gfr, gfb,
 
     lab = lab_ref[0]                                          # (CAP, PYP)
     tmp_t = jax.lax.dot(lab, yhot_t,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)   # (CAP, T)
 
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, t), 0)

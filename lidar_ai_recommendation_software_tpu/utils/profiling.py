@@ -151,3 +151,61 @@ def roofline(flops: float, bytes_accessed: float, seconds: float,
         out["bound"] = ("compute" if out["pct_peak_flops"]
                         >= out["pct_peak_bw"] else "memory")
     return out
+
+
+def pipeline_stage_costs(n_points: int, n_people: int,
+                         table_slots: int, column_cap: int, pyp: int,
+                         grid_cells: int, bucket_cap: int,
+                         gs_groups: int = 2) -> Dict[str, Dict[str, float]]:
+    """Modeled MINIMUM work for the dominant pipeline stages: FLOPs that
+    must execute and HBM bytes that must move (each logical array read
+    once / written once per macro-op; sorts counted as one read + one
+    write per lane — a lower bound, real sorts make log passes).
+    Feeding these + a measured time into ``roofline`` yields a LOWER
+    bound on achieved fraction of speed-of-light — honest for "how far
+    from the roof", optimistic never.
+
+    Terms (S = table_slots = PX*CAP*PYP, n = points, k = people cap):
+      clustering  build sort (5 lanes rw) + fill-kernel stream read +
+                  5 planes written + counts (3 planes read, 1 written) +
+                  gs_groups pass groups (3 coord planes + labels rw,
+                  x and y orientations + label transposes) + extract
+                  (labels read + stream) + unsort (2 lanes rw);
+                  FLOPs: fill/extract dispatch matmuls (2*5CAP*PYP and
+                  2*CAP*PYP per point) + 9-neighborhood distance tests
+                  (8 flops each, CAP candidates per slot).
+      extract_people  4-lane sort rw + compensated prefix (~20 flops/pt)
+                  + pack sort (8 lanes rw).
+      density     bucketed radius count: 9*bucket_cap tests per cell,
+                  8 flops each; people read + grid written.
+    """
+    n, k, S = float(n_points), float(n_people), float(table_slots)
+    cells = float(grid_cells)
+    cap = float(column_cap)
+    f32 = 4.0
+    sort5 = 2 * 5 * f32 * n
+    fill_read = 7 * f32 * n
+    planes_w = 5 * f32 * S
+    counts = (3 + 1) * f32 * S
+    per_group = 2 * (3 * f32 * S + 2 * f32 * S) * 2 + 2 * 2 * f32 * S
+    extract = f32 * S + 3 * f32 * n + f32 * n
+    unsort = 2 * 2 * f32 * n
+    clustering_bytes = (3 * f32 * n + sort5 + fill_read + planes_w
+                        + counts + gs_groups * per_group + extract
+                        + unsort)
+    clustering_flops = (2 * 5 * cap * pyp * n          # fill matmul
+                        + 2 * cap * pyp * n            # extract matmul
+                        + (1 + 2 * gs_groups * 2) * 9 * cap * 8 * S)
+
+    people_bytes = (2 * 4 * f32 * n) + (2 * 8 * f32 * n) + 20 * f32 * k
+    people_flops = 20 * n
+
+    density_bytes = 2 * f32 * k + f32 * cells + 9 * bucket_cap * 0.0
+    density_flops = 9 * bucket_cap * 8 * cells
+
+    return {
+        "clustering": {"flops": clustering_flops,
+                       "bytes": clustering_bytes},
+        "extract_people": {"flops": people_flops, "bytes": people_bytes},
+        "density": {"flops": density_flops, "bytes": density_bytes},
+    }
