@@ -124,10 +124,11 @@ def test_neural_tracks_analytic_pipeline_on_same_clouds(pipe):
     the SAME held-out venues through BOTH pipelines. Bounds measured
     over 5 venues and recorded in docs/PARITY.md ("Neural vs analytic"):
 
-      - neural vs GENERATOR-TRUE count: rel err < 0.20 per venue
-        (measured <= 0.17) — the distillation estimand;
-      - neural vs ANALYTIC count: rel err < 0.60 per venue (measured
-        0.35-0.53). The gap is the analytic path's own bias: fixed
+      - neural vs GENERATOR-TRUE count: rel err < 0.18 per venue
+        (measured <= 0.17; ratcheted from 0.20 in r5) — the
+        distillation estimand;
+      - neural vs ANALYTIC count: rel err < 0.55 per venue (measured
+        0.35-0.53; ratcheted from 0.60 in r5). The gap is the analytic path's own bias: fixed
         eps=0.3 DBSCAN over-segments ~24-return person blobs into
         ~1.6-1.7x the true cluster count on these venues, while the
         count head was supervised with the true count;
@@ -154,9 +155,9 @@ def test_neural_tracks_analytic_pipeline_on_same_clouds(pipe):
 
         a_count = a["density"]["total_people"]
         n_count = n["density"]["total_people"]
-        assert abs(n_count - true_n) / max(true_n, 1) < 0.20, \
+        assert abs(n_count - true_n) / max(true_n, 1) < 0.18, \
             (true_n, n_count)
-        assert abs(n_count - a_count) / max(a_count, 1) < 0.60, \
+        assert abs(n_count - a_count) / max(a_count, 1) < 0.55, \
             (a_count, n_count)
 
         # analytic people -> density on the neural BEV lattice
@@ -173,6 +174,37 @@ def test_neural_tracks_analytic_pipeline_on_same_clouds(pipe):
         maes.append(np.abs(n["density"]["density_map"] - hist).mean())
         floors.append(np.abs(hist).mean())
     assert np.mean(maes) < 0.8 * np.mean(floors), (maes, floors)
+
+
+def test_neural_on_reference_fixtures(pipe):
+    """The reference's own fixtures through the neural path (VERDICT r4
+    item 5: the eval never touched seed-42 or scaled_venue).
+
+    These venues are OFF the blob training family: seed-42 carries
+    sinusoidal terrain whose DBSCAN census (446) counts terrain
+    clusters, and scaled_venue(50k) is ~4x the training venue extent.
+    Measured r5 (docs/PARITY.md "Reference fixtures"): neural count 26
+    on seed-42 (true 50 people, analytic census 446) and 16 on
+    scaled_venue(50k) (analytic census 2236).  The bands below are
+    REGRESSION gates pinned around those measurements — a retrain that
+    drifts off them fails here; they are not accuracy claims."""
+    from lidar_ai_recommendation_software_tpu.pipeline import Pipeline
+    from lidar_ai_recommendation_software_tpu.synthetic import (
+        sample_venue, scaled_venue)
+
+    pts42 = sample_venue()                      # app_simplified.py:994-1024
+    n42 = pipe.analyze(pts42)
+    c42 = n42["density"]["total_people"]
+    # true people = 50; measured 26 -> band [0.3, 1.5] x true
+    assert 15 <= c42 <= 75, c42
+    assert np.isfinite(n42["density"]["max_density"])
+    assert set(n42["recommendations"]) == {"issues", "actions",
+                                           "opportunities"}
+
+    pts50k = scaled_venue(50_000)
+    n50k = pipe.analyze(pts50k)
+    assert n50k["density"]["total_people"] >= 1
+    assert np.isfinite(n50k["density"]["max_density"])
 
 
 def test_legacy_checkpoint_without_count_head_serves(tmp_path, pipe):
