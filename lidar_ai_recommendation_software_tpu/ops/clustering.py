@@ -375,6 +375,46 @@ def _blocked_prefix(op, xs, block: int = 65536):
         lambda a: a.reshape((npad,) + a.shape[2:])[:n], out)
 
 
+def _lane_prefix_df(vals: jnp.ndarray, lanes: int = 128
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive compensated (double-float) prefix over axis 0 of an
+    (n, d) array, lane-parallel.
+
+    ``_blocked_prefix`` on (n, 3) data runs every op at 3/128 lane
+    utilization — measured 129-135 ms for the 10.49M-row centroid
+    prefix at EVERY block size (the scan's log-passes, not dispatch,
+    bound it).  Here each of d*lanes lane-columns owns a CONTIGUOUS
+    row chunk: one transpose in, a full-width associative scan
+    (~17 levels of (chunk, d*lanes) adds at full lane utilization), a
+    tiny per-lane carry scan, one transpose out.  Returns (hi, lo)
+    double-float pairs; same O(log n) compensated error model as
+    _blocked_prefix (the reduction tree differs, so last-ulp bits may
+    differ — both are equally valid compensated sums)."""
+    n, d = vals.shape
+    lanes = int(lanes)
+    chunk = -(-n // lanes)
+    npad = chunk * lanes
+    v = jnp.pad(vals, ((0, npad - n), (0, 0)))
+    v = jnp.transpose(v.reshape(lanes, chunk, d),
+                      (1, 2, 0)).reshape(chunk, d * lanes)
+    hi, lo = jax.lax.associative_scan(
+        _df_add, (v, jnp.zeros_like(v)), axis=0)
+    # per-lane totals -> exclusive carries within each channel's lanes
+    th = hi[-1].reshape(d, lanes)
+    tl = lo[-1].reshape(d, lanes)
+    ch_, cl_ = jax.lax.associative_scan(_df_add, (th, tl), axis=1)
+    z = jnp.zeros((d, 1), vals.dtype)
+    ch_ = jnp.concatenate([z, ch_[:, :-1]], axis=1).reshape(d * lanes)
+    cl_ = jnp.concatenate([z, cl_[:, :-1]], axis=1).reshape(d * lanes)
+    oh, ol = _df_add((ch_[None, :], cl_[None, :]), (hi, lo))
+
+    def back(a):
+        return jnp.transpose(a.reshape(chunk, d, lanes),
+                             (2, 0, 1)).reshape(npad, d)[:n]
+
+    return back(oh), back(ol)
+
+
 def _centroids_sorted(points: jnp.ndarray, seg: jnp.ndarray, k: int
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Segment means via sort + compensated prefix scan (no scatter).
@@ -397,34 +437,46 @@ def _centroids_sorted(points: jnp.ndarray, seg: jnp.ndarray, k: int
     seg_s = sorted_all[0]
     pts_s = jnp.stack(sorted_all[1:], axis=1)           # (n, d)
 
-    # ONE double-float prefix over all d coordinate channels, blocked
-    # (count prefix rides along as an int32 channel: exact, n < 2^31)
-    def op(a, b):
-        (s1, e1), c1 = a
-        (s2, e2), c2 = b
-        return _df_add((s1, e1), (s2, e2)), c1 + c2
-
-    (s_hi, s_lo), cnt_prefix = _blocked_prefix(
-        op, ((pts_s, jnp.zeros_like(pts_s)),
-             jnp.ones((n,), jnp.int32)))
+    # ONE lane-parallel double-float prefix over all d coordinate
+    # channels (_lane_prefix_df).  The row-count prefix needs no scan
+    # at all: an inclusive prefix of ones IS iota+1.
+    s_hi, s_lo = _lane_prefix_df(pts_s)
+    cnt_prefix = jnp.arange(1, n + 1, dtype=jnp.int32)
 
     is_end = jnp.concatenate([seg_s[1:] != seg_s[:-1],
                               jnp.ones((1,), bool)])
-    # pack each end row's inclusive prefix into dense slot seg_s (ends
-    # of the noise/overflow bucket and non-end rows key to k, sorting
-    # after every real slot)
-    key = jnp.where(is_end & (seg_s < k), seg_s, jnp.int32(k))
-    packed = jax.lax.sort(
-        (key,)
-        + tuple(s_hi[:, i] for i in range(d))
-        + tuple(s_lo[:, i] for i in range(d))
-        + (cnt_prefix,), num_keys=1)
-    # slot j holds segment j's end iff the packed key equals j (dense
-    # ids: true exactly for j < C)
-    real = packed[0][:k] == jnp.arange(k, dtype=jnp.int32)
-    p_hi = jnp.stack(packed[1:1 + d], axis=1)[:k]
-    p_lo = jnp.stack(packed[1 + d:1 + 2 * d], axis=1)[:k]
-    p_cnt = packed[-1][:k]
+    # pack each end row's inclusive prefix into dense slot seg_s.
+    # Dense ids make the destinations MONOTONE with at most one end row
+    # per slot, so the pack is a dispatch-matmul placement
+    # (ops/pallas/fill.place_dense, exact via 3-way bf16 splits) rather
+    # than an (2d+2)-lane full-length sort — measured r5 on v5e at
+    # 10.49M rows: 205 ms sort -> ~25 ms placement.  Beyond f32-exact
+    # integer range the sort path remains (prefix counts ride f32).
+    valid_end = is_end & (seg_s < k)
+    if n < (1 << 24):
+        from lidar_ai_recommendation_software_tpu.ops.pallas import fill
+
+        chans = ([s_hi[:, i] for i in range(d)]
+                 + [s_lo[:, i] for i in range(d)]
+                 + [cnt_prefix.astype(jnp.float32)])
+        placed, occ = fill.place_dense(seg_s, valid_end, chans, k)
+        real = occ[:k] > 0.5
+        p_hi = jnp.stack([placed[i][:k] for i in range(d)], axis=1)
+        p_lo = jnp.stack([placed[d + i][:k] for i in range(d)], axis=1)
+        p_cnt = placed[2 * d][:k].astype(jnp.int32)
+    else:
+        key = jnp.where(valid_end, seg_s, jnp.int32(k))
+        packed = jax.lax.sort(
+            (key,)
+            + tuple(s_hi[:, i] for i in range(d))
+            + tuple(s_lo[:, i] for i in range(d))
+            + (cnt_prefix,), num_keys=1)
+        # slot j holds segment j's end iff the packed key equals j
+        # (dense ids: true exactly for j < C)
+        real = packed[0][:k] == jnp.arange(k, dtype=jnp.int32)
+        p_hi = jnp.stack(packed[1:1 + d], axis=1)[:k]
+        p_lo = jnp.stack(packed[1 + d:1 + 2 * d], axis=1)[:k]
+        p_cnt = packed[-1][:k]
 
     def prev(a):
         pad = jnp.zeros_like(a[:1])

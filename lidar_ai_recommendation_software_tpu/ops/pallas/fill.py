@@ -79,6 +79,10 @@ def tile_schedule(srow_sorted: jnp.ndarray, px: int, n_tiles: int,
       g_block     stream-tile index of this visit
       g_first_row 1 on the first visit of each row (fill: block init)
       g_first_blk 1 on the first visit of each tile (extract: acc init)
+      g_live      0 on schedule-padding entries: their contributions
+                  must be dead even when their (row, block) pair would
+                  match real rows (the pad row px-1 is an empty border
+                  in the CCL table, but place_dense's last row is real)
     """
     g_max = n_tiles + px + 8
     rows = jnp.arange(px + 1, dtype=jnp.int32)
@@ -117,17 +121,18 @@ def tile_schedule(srow_sorted: jnp.ndarray, px: int, n_tiles: int,
     g_first_blk = jnp.where(
         pad, (pad_blk_raw <= last) & (pad_blk_raw > maxblk),
         g_block != prev_blk).astype(jnp.int32)
-    return g_row, g_block, g_first_row, g_first_blk
+    g_live = (~pad).astype(jnp.int32)
+    return g_row, g_block, g_first_row, g_first_blk, g_live
 
 
 # ---------------------------------------------------------------------------
 # fill: sorted stream -> (PX, 5*CAP, PYP) accumulator planes
 # ---------------------------------------------------------------------------
 
-def _fill_kernel(cap: int, gr, gb, gfr, gfb,
+def _fill_kernel(cap: int, gr, gb, gfr, gfb, glive,
                  srow, sy, sslot, sx, syc, sz, sidx, out_ref):
     g = pl.program_id(0)
-    row = gr[g]
+    row = jnp.where(glive[g] == 1, gr[g], -1)   # -1 matches no point
 
     # everything stays lane-major ((1, T) stream views): the y one-hot
     # is built TRANSPOSED (PYP, T) so no (T, 1) relayouts/padded HBM
@@ -186,30 +191,31 @@ def fill_planes(srow: jnp.ndarray, sy: jnp.ndarray, sslot: jnp.ndarray,
     sx_p, syc_p, sz_p, sidx_p = (pad1(a, 0.0)
                                  for a in (sx, syc, sz, sidx))
 
-    g_row, g_block, g_first_row, g_first_blk = tile_schedule(
+    g_row, g_block, g_first_row, g_first_blk, g_live = tile_schedule(
         srow_p, px, n_tiles, tile)
 
     def in_l(a):        # (n_tiles, 1, T) — stream values on lanes
         return a.reshape(n_tiles, 1, tile)
 
     blk = lambda: pl.BlockSpec(
-        (1, 1, tile), lambda g, gr, gb, gfr, gfb: (gb[g], 0, 0),
+        (1, 1, tile), lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
         memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(g_row.shape[0],),
         in_specs=[blk() for _ in range(7)],
-        out_specs=pl.BlockSpec((1, 5 * cap, pyp),
-                               lambda g, gr, gb, gfr, gfb: (gr[g], 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 5 * cap, pyp),
+            lambda g, gr, gb, gfr, gfb, gl: (gr[g], 0, 0),
+            memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_fill_kernel, cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((px, 5 * cap, pyp), jnp.float32),
         interpret=_interpret(),
-    )(g_row, g_block, g_first_row, g_first_blk,
+    )(g_row, g_block, g_first_row, g_first_blk, g_live,
       in_l(srow_p), in_l(sy_p), in_l(sslot_p),
       in_l(sx_p), in_l(syc_p), in_l(sz_p), in_l(sidx_p))
 
@@ -218,10 +224,10 @@ def fill_planes(srow: jnp.ndarray, sy: jnp.ndarray, sslot: jnp.ndarray,
 # extract: (PX, CAP, PYP) labels -> stream order
 # ---------------------------------------------------------------------------
 
-def _extract_kernel(cap: int, gr, gb, gfr, gfb,
+def _extract_kernel(cap: int, gr, gb, gfr, gfb, glive,
                     srow, sy, sslot, lab_ref, out_ref, acc_ref):
     g = pl.program_id(0)
-    row = gr[g]
+    row = jnp.where(glive[g] == 1, gr[g], -1)   # -1 matches no point
     t = srow.shape[2]
     pyp = lab_ref.shape[2]
 
@@ -268,26 +274,28 @@ def extract_stream(labels_f32: jnp.ndarray, srow: jnp.ndarray,
     sy_p = jnp.pad(sy, (0, n_pad - n))
     sslot_p = jnp.pad(sslot, (0, n_pad - n), constant_values=cap)
 
-    g_row, g_block, g_first_row, g_first_blk = tile_schedule(
+    g_row, g_block, g_first_row, g_first_blk, g_live = tile_schedule(
         srow_p, px, n_tiles, tile)
 
     def in_l(a):
         return a.reshape(n_tiles, 1, tile)
 
     blk = lambda: pl.BlockSpec(
-        (1, 1, tile), lambda g, gr, gb, gfr, gfb: (gb[g], 0, 0),
+        (1, 1, tile), lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
         memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(g_row.shape[0],),
         in_specs=[blk(), blk(), blk(),
-                  pl.BlockSpec((1, cap, pyp),
-                               lambda g, gr, gb, gfr, gfb: (gr[g], 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, tile),
-                               lambda g, gr, gb, gfr, gfb: (gb[g], 0, 0),
-                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(
+                      (1, cap, pyp),
+                      lambda g, gr, gb, gfr, gfb, gl: (gr[g], 0, 0),
+                      memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile),
+            lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
     )
     out = pl.pallas_call(
@@ -295,6 +303,128 @@ def extract_stream(labels_f32: jnp.ndarray, srow: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         interpret=_interpret(),
-    )(g_row, g_block, g_first_row, g_first_blk,
+    )(g_row, g_block, g_first_row, g_first_blk, g_live,
       in_l(srow_p), in_l(sy_p), in_l(sslot_p), labels_f32)
     return out.reshape(n_pad)[:n]
+
+
+# ---------------------------------------------------------------------------
+# place_dense: monotone placement of per-row channels into K dense slots
+# ---------------------------------------------------------------------------
+
+def split3_bf16(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+    """Exact 3-way bf16 split: v == b1 + b2 + b3 for every f32 (24
+    significand bits <= 3 x 8; each residual cancellation is exact).
+    Lets placement matmuls run single-pass bf16 (DEFAULT precision)
+    instead of the ~6-pass HIGHEST f32 decomposition."""
+    b1 = v.astype(jnp.bfloat16)
+    r1 = v - b1.astype(jnp.float32)
+    b2 = r1.astype(jnp.bfloat16)
+    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b1, b2, b3
+
+
+def _place_kernel(nch: int, gr, gb, gfr, gfb, glive, sid, svalid,
+                  *refs):
+    ch_refs = refs[:3 * nch]
+    out_ref = refs[3 * nch]
+    g = pl.program_id(0)
+    row = jnp.where(glive[g] == 1, gr[g], -1)   # -1 matches no id
+    t = sid.shape[2]
+    pyl = out_ref.shape[2]
+
+    live = (svalid[0] != 0) & ((sid[0] // pyl) == row)         # (1, T)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (pyl, t), 0)
+    rhs_t = jnp.where((iota_y == sid[0] % pyl) & live,
+                      1.0, 0.0).astype(jnp.bfloat16)           # (PYL, T)
+
+    lhs = jnp.concatenate(
+        [r[0] for r in ch_refs]
+        + [jnp.where(live, 1.0, 0.0).astype(jnp.bfloat16)], axis=0)
+
+    contrib = jax.lax.dot_general(
+        lhs, rhs_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # (3*nch+1, PYL)
+
+    @pl.when(gfr[g] == 1)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(gfr[g] == 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def place_dense(ids: jnp.ndarray, valid: jnp.ndarray,
+                channels, k: int, lanes: int = 512,
+                tile: int = _T) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """out[c, id] = channels[c][j] for the unique j with valid[j] and
+    ids[j] == id — a monotone scatter of at most one row per dense slot,
+    as dispatch matmuls (``ids`` must be NON-DECREASING; callers feed
+    cell/segment-sorted streams).  Invalid rows contribute nothing; ids
+    of invalid rows still participate in the visit schedule, so they
+    must carry their neighborhood's id (e.g. their segment), keeping the
+    sequence monotone.  Returns (out (C, K') f32, occupancy (K',) f32)
+    with K' = k rounded up to ``lanes``; slots no row hit are 0.
+
+    Exactness: each channel rides as an exact 3-way bf16 split
+    (``split3_bf16``) against a one-hot RHS, single contribution per
+    slot, f32 accumulate — bit-exact reconstruction, single-pass bf16
+    matmul speed."""
+    channels = list(channels)
+    nch = len(channels)
+    n = ids.shape[0]
+    kp = _round_up(max(k, lanes), lanes)
+    rows = kp // lanes
+    n_pad = _round_up(max(n, tile), tile)
+    n_tiles = n_pad // tile
+
+    ids_p = jnp.pad(jnp.clip(ids, 0, kp - 1), (0, n_pad - n))
+    ids_p = jnp.where(
+        jnp.pad(valid, (0, n_pad - n)) | (jnp.arange(n_pad) < n),
+        ids_p, kp - 1)
+    # schedule rows from the id stream (monotone); mask-padding tail
+    # rides the last row and is invalid
+    srow = ids_p // lanes
+    srow = jnp.where(jnp.arange(n_pad) < n, srow, rows)
+    valid_p = jnp.pad(valid, (0, n_pad - n)).astype(jnp.int32)
+
+    g_row, g_block, g_first_row, g_first_blk, g_live = tile_schedule(
+        srow, rows, n_tiles, tile)
+
+    def in_l(a):
+        return a.reshape(n_tiles, 1, tile)
+
+    split_chs = []
+    for c in channels:
+        split_chs.extend(split3_bf16(
+            jnp.pad(c.astype(jnp.float32), (0, n_pad - n))))
+
+    blk = lambda: pl.BlockSpec(
+        (1, 1, tile), lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
+        memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(g_row.shape[0],),
+        in_specs=[blk() for _ in range(2 + 3 * nch)],
+        out_specs=pl.BlockSpec(
+            (1, 3 * nch + 1, lanes),
+            lambda g, gr, gb, gfr, gfb, gl: (gr[g], 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        functools.partial(_place_kernel, nch),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 3 * nch + 1, lanes),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(g_row, g_block, g_first_row, g_first_blk, g_live,
+      in_l(ids_p), in_l(valid_p), *[in_l(c) for c in split_chs])
+
+    # (rows, 3nch+1, lanes) -> recombined (nch, K'), occupancy (K',)
+    acc = jnp.swapaxes(acc, 0, 1).reshape(3 * nch + 1, kp)
+    out = jnp.stack([acc[3 * c] + acc[3 * c + 1] + acc[3 * c + 2]
+                     for c in range(nch)], axis=0)
+    return out, acc[3 * nch]

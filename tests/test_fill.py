@@ -100,7 +100,7 @@ def test_tile_schedule_covers_every_row_and_tile():
     # pad tail like fill/extract do: two full tiles of out-of-range rows
     srow = jnp.concatenate([srow, jnp.full((24,), 42, jnp.int32),
                             jnp.full((256,), 42, jnp.int32)])
-    g_row, g_block, g_first_row, g_first_blk = (
+    g_row, g_block, g_first_row, g_first_blk, g_live = (
         np.asarray(a) for a in fill.tile_schedule(srow, 42, 10, tile=128))
     # rows non-decreasing, every row 0..41 initialised exactly once
     assert (np.diff(g_row) >= 0).all()
@@ -118,3 +118,40 @@ def test_tile_schedule_covers_every_row_and_tile():
         firsts = np.where(g_block == b)[0]
         assert (np.diff(firsts) == 1).all() or len(firsts) == 1 or \
             set(np.diff(firsts)) <= {1}
+
+
+def test_place_dense_exact_placement():
+    rng = np.random.RandomState(3)
+    n, k = 4000, 700
+    # sorted non-decreasing segment ids; one "end" row per segment
+    ids = np.sort(rng.randint(0, k, n)).astype(np.int32)
+    is_end = np.concatenate([ids[1:] != ids[:-1], [True]])
+    vals = [rng.uniform(-1e4, 1e4, n).astype(np.float32),
+            rng.randint(0, 1 << 24, n).astype(np.float32)]
+
+    out, occ = fill.place_dense(jnp.asarray(ids), jnp.asarray(is_end),
+                                [jnp.asarray(v) for v in vals], k,
+                                lanes=256, tile=128)
+    out, occ = np.asarray(out), np.asarray(occ)
+
+    want = np.zeros((2, out.shape[1]), np.float32)
+    wocc = np.zeros(out.shape[1], np.float32)
+    for j in np.nonzero(is_end)[0]:
+        want[0, ids[j]] = vals[0][j]
+        want[1, ids[j]] = vals[1][j]
+        wocc[ids[j]] = 1.0
+    # exact: split3 recombination must be bit-perfect
+    np.testing.assert_array_equal(out, want)
+    np.testing.assert_array_equal(occ, wocc)
+
+
+def test_split3_bf16_exact():
+    rng = np.random.RandomState(4)
+    v = jnp.asarray(np.concatenate([
+        rng.uniform(-1e6, 1e6, 1000),
+        rng.randint(0, 1 << 24, 1000).astype(np.float64),
+        [0.0, 1.0, -1.0, 3.14159265, 1e-30]]), jnp.float32)
+    b1, b2, b3 = fill.split3_bf16(v)
+    back = (b1.astype(jnp.float32) + b2.astype(jnp.float32)
+            + b3.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(v))
