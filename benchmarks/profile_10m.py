@@ -103,7 +103,8 @@ def main():
     labels_r = rec("clustering_gs", cluster_only,
                    lambda i: (clouds[i % len(clouds)],),
                    lambda r: r[1])
-    out["n_clusters"] = int(labels_r[1])
+    if labels_r is not None:
+        out["n_clusters"] = int(labels_r[1])
 
     # --- full preprocess + people extraction -----------------------------
     pre = jax.jit(functools.partial(pp.preprocess, config=cfg))

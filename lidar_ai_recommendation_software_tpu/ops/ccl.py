@@ -104,8 +104,9 @@ def build_planes_stream(points: jnp.ndarray, mask: jnp.ndarray,
     """Pack padded points into SoA column planes WITHOUT a scatter: one
     5-lane sort by cell id, then the dispatch-matmul fill kernel
     (ops/pallas/fill.py).  Requires n < 2^24 (point indices ride the
-    MXU as exact f32).  ~8x faster than the width-4 XLA scatter build
-    at venue scale (measured r5: 96 ms vs 811 ms at 8.4M points)."""
+    MXU as exact f32).  ~5x faster than the width-4 XLA scatter build
+    at venue scale (measured r5 at 8.4M points on v5e: 157 ms at
+    HIGHEST matmul precision vs 811 ms for the scatter)."""
     n, d = points.shape
     assert n < (1 << 24), "stream build needs f32-exact point indices"
     dt = points.dtype
@@ -260,7 +261,12 @@ def _neighbor_min_and_count(cx, cy, cz, planes3, r2, cap, want_min,
     """Shared inner loop: for the center block (CAP, PYP), reduce over the
     3x3 neighborhood given ``planes3`` = per-row (kx, ky, kz[, klab]).
     Rolls along lanes implement the y offsets (wrap lands in padding whose
-    coords are EMPTY_COORD, so wraparound cannot contaminate)."""
+    coords are EMPTY_COORD, so wraparound cannot contaminate).
+
+    (r5 note: an all-pairs (8, CAP, PYP) broadcast restructure was
+    measured 2.4x SLOWER on v5e — Mosaic's 3-D broadcast materialisation
+    costs more than the stream of small 2-D ops; keep the per-slot
+    loop.)"""
     acc_min = jnp.full(cx.shape, INT_MAX, jnp.int32) if want_min else None
     acc_cnt = jnp.zeros(cx.shape, jnp.int32) if want_count else None
     for row_planes in planes3:
@@ -463,7 +469,11 @@ def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
     r2 = r2_ref[0]
     cap = xw.shape[1]
 
-    def update_row(jj):
+    # fori_loop with dynamic scratch-row indexing, NOT a Python unroll:
+    # unrolling rpb x 9 x CAP iterations lowered to a ~2.4 MB Mosaic
+    # module and killed the AOT compiler at 10M (HTTP 413 / exit 1).
+    def body(j, c):
+        jj = jnp.where(fwd, 1 + j, rpb - j)
         planes3 = [(xw[jj + d], yw[jj + d], zw[jj + d], lw[jj + d])
                    for d in (-1, 0, 1)]
         mn, _ = _neighbor_min_and_count(xw[jj], yw[jj], zw[jj], planes3,
@@ -472,21 +482,10 @@ def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
         new = jnp.where(center == INT_MAX, INT_MAX,
                         jnp.minimum(center, mn))
         lw[jj] = new
-        return jnp.sum((new != center).astype(jnp.int32))
+        return c + jnp.sum((new != center).astype(jnp.int32))
 
-    @pl.when(fwd)
-    def _():
-        c = jnp.int32(0)
-        for j in range(rpb):
-            c = c + update_row(1 + j)
-        changed_ref[p, 0] = changed_ref[p, 0] + c
-
-    @pl.when(jnp.logical_not(fwd))
-    def _():
-        c = jnp.int32(0)
-        for j in range(rpb):
-            c = c + update_row(rpb - j)
-        changed_ref[p, 0] = changed_ref[p, 0] + c
+    c = jax.lax.fori_loop(0, rpb, body, jnp.int32(0))
+    changed_ref[p, 0] = changed_ref[p, 0] + c
 
     wr = pltpu.make_async_copy(lw.at[pl.ds(1, rpb)],
                                labels_out.at[pl.ds(blo, rpb)], sem_out)

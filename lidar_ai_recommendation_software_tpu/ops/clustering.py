@@ -449,9 +449,9 @@ def _centroids_sorted(points: jnp.ndarray, seg: jnp.ndarray, k: int
     # Dense ids make the destinations MONOTONE with at most one end row
     # per slot, so the pack is a dispatch-matmul placement
     # (ops/pallas/fill.place_dense, exact via 3-way bf16 splits) rather
-    # than an (2d+2)-lane full-length sort — measured r5 on v5e at
-    # 10.49M rows: 205 ms sort -> ~25 ms placement.  Beyond f32-exact
-    # integer range the sort path remains (prefix counts ride f32).
+    # than an (2d+2)-lane full-length sort (measured 34 ms at 10.49M
+    # rows on v5e).  Beyond f32-exact integer range the sort path
+    # remains (prefix counts ride f32).
     valid_end = is_end & (seg_s < k)
     if n < (1 << 24):
         from lidar_ai_recommendation_software_tpu.ops.pallas import fill

@@ -317,12 +317,23 @@ def split3_bf16(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     """Exact 3-way bf16 split: v == b1 + b2 + b3 for every f32 (24
     significand bits <= 3 x 8; each residual cancellation is exact).
     Lets placement matmuls run single-pass bf16 (DEFAULT precision)
-    instead of the ~6-pass HIGHEST f32 decomposition."""
-    b1 = v.astype(jnp.bfloat16)
-    r1 = v - b1.astype(jnp.float32)
-    b2 = r1.astype(jnp.bfloat16)
-    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
-    return b1, b2, b3
+    instead of the ~6-pass HIGHEST f32 decomposition.
+
+    The rounding MUST go through ``lax.reduce_precision``: with
+    ``--xla_allow_excess_precision`` (set on this TPU toolchain) XLA
+    folds ``v - f32(bf16(v))`` to zero, silently collapsing the split
+    to plain bf16 (caught on device: every placed value truncated;
+    reduce_precision is contractually un-foldable)."""
+    def rp(x):
+        return jax.lax.reduce_precision(x, exponent_bits=8,
+                                        mantissa_bits=7)
+
+    b1 = rp(v)
+    r1 = v - b1
+    b2 = rp(r1)
+    b3 = rp(r1 - b2)
+    return (b1.astype(jnp.bfloat16), b2.astype(jnp.bfloat16),
+            b3.astype(jnp.bfloat16))
 
 
 def _place_kernel(nch: int, gr, gb, gfr, gfb, glive, sid, svalid,
@@ -339,8 +350,11 @@ def _place_kernel(nch: int, gr, gb, gfr, gfb, glive, sid, svalid,
     rhs_t = jnp.where((iota_y == sid[0] % pyl) & live,
                       1.0, 0.0).astype(jnp.bfloat16)           # (PYL, T)
 
+    # channels arrive as f32 (bf16 (1, T) stream blocks corrupted
+    # values on real TPU — pair-packed sublane layout; measured: half
+    # of all placed values wrong at every scale) and are cast here
     lhs = jnp.concatenate(
-        [r[0] for r in ch_refs]
+        [r[0].astype(jnp.bfloat16) for r in ch_refs]
         + [jnp.where(live, 1.0, 0.0).astype(jnp.bfloat16)], axis=0)
 
     contrib = jax.lax.dot_general(
@@ -398,8 +412,9 @@ def place_dense(ids: jnp.ndarray, valid: jnp.ndarray,
 
     split_chs = []
     for c in channels:
-        split_chs.extend(split3_bf16(
-            jnp.pad(c.astype(jnp.float32), (0, n_pad - n))))
+        split_chs.extend(
+            b.astype(jnp.float32) for b in split3_bf16(
+                jnp.pad(c.astype(jnp.float32), (0, n_pad - n))))
 
     blk = lambda: pl.BlockSpec(
         (1, 1, tile), lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
