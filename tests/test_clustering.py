@@ -319,7 +319,9 @@ def test_gs_blocked_kernel_matches_per_row():
     lab2, ch2 = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
                               labels0, eps, npass=2, rows_per_block=4)
     np.testing.assert_array_equal(np.asarray(lab1), np.asarray(lab2))
-    np.testing.assert_array_equal(np.asarray(ch1), np.asarray(ch2))
+    # per-pass totals agree (blocked reports per-block counts)
+    np.testing.assert_array_equal(np.asarray(ch1).sum(axis=1),
+                                  np.asarray(ch2).sum(axis=1))
 
 
 def test_lane_prefix_df_matches_float64_cumsum():
@@ -338,3 +340,28 @@ def test_lane_prefix_df_matches_float64_cumsum():
     assert err < 1e-2, err            # plain f32 cumsum: ~0.5 here
     # and the compensated pair is much tighter than hi alone
     assert err < np.abs(np.asarray(hi, np.float64) - want).max() + 1e-9
+
+def test_gs_blocked_activity_skipping_reaches_same_fixpoint():
+    """With activity skipping, more passes per call must land on the
+    same fixpoint as chained 2-pass calls, and the final pass must
+    certify with all-zero change counts."""
+    import jax.numpy as jnp
+
+    from lidar_ai_recommendation_software_tpu.ops import ccl
+
+    rng = np.random.RandomState(8)
+    n = 2000
+    pts = jnp.asarray(rng.uniform(-6, 6, (n, 3)), np.float32)
+    mask = jnp.ones(n, bool)
+    eps = 0.5
+    planes = ccl.build_planes_stream(pts, mask, min_cell=eps, ncx=16,
+                                     ncy=16, cap=32)
+    labels0 = jnp.where(planes.ptidx >= 0, planes.ptidx, ccl.INT_MAX)
+    lab_a = labels0
+    for _ in range(4):
+        lab_a, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                 lab_a, eps, npass=2, rows_per_block=1)
+    lab_b, ch_b = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                labels0, eps, npass=8, rows_per_block=4)
+    np.testing.assert_array_equal(np.asarray(lab_a), np.asarray(lab_b))
+    assert np.asarray(ch_b)[-1].sum() == 0
