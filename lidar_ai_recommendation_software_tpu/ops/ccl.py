@@ -19,21 +19,28 @@ pass that changes nothing certifies global convergence.
 Data layout (SoA, y-on-lanes): coordinate planes ``(PX, CAP, PYP)``
 float32 where PX = ncx+2 (one border row each side), CAP = column slot
 capacity (multiple of 8 — sublanes), PYP = ncy+2 rounded up to 128
-(lanes). Empty slots carry the 0xFFFFFFFF pattern (NaN as float, -1 as
-int) and padding holds 1e18 — either way the distance test rejects them
-with no mask input (NaN/huge <= r2 is false). Labels are int32 point
-indices with INT_MAX for non-core/empty — non-core neighbors never win
-a min, so no core mask is needed in the kernel either. The table itself
-is built by ONE fused XLA width-4 scatter (x, y, z + the point index as
-an exact-f32 value lane, see build_planes); the point->slot rank map
-rides ops/pallas/permute.permutation_scatter (a sort, ~12 ms at 1M, vs
-~50 ms for an XLA scatter at TPU's ~20M elem/s).
+(lanes). Empty slots hold EMPTY_COORD / -1 — the distance test rejects
+them with no mask input. Labels are int32 point indices with INT_MAX
+for non-core/empty — non-core neighbors never win a min, so no core
+mask is needed in the kernel either.
+
+The table is built WITHOUT a scatter (``build_planes_stream``): one
+5-lane sort by cell id, then the dispatch-matmul fill kernel
+(ops/pallas/fill.py) places the cell-sorted stream onto the planes via
+one-hot MXU products — r5 measured 157 ms vs 813 ms for the width-4
+XLA scatter at 8.4M points; labels return through the transposed
+extract matmul + one unsort sort (68 ms vs a 137 ms gather). The
+scatter build (``build_planes``) remains for n >= 2^24, where point
+indices stop being f32-exact.
 
 Kernels:
   - ``column_counts_planes``: Jacobi eps-neighbor counts (core test).
-  - ``_gs_pass_call``: multi-pass Gauss-Seidel min-propagation; labels
-    live in HBM, each program DMAs a 3-row window in, updates its row,
-    and DMAs it back before the next program reads it.
+  - ``_gs_kernel_blocked``: multi-pass Gauss-Seidel min-propagation;
+    labels live in HBM, each program DMAs an (rpb+2)-row window,
+    updates its rpb rows sequentially in VMEM, writes them back before
+    the next program reads, and SKIPS entirely when its neighborhood
+    reported no changes in the previous pass (the convergence tail is
+    long: measured 1.9M changed slots in pass 1, six in pass 11).
   - ``border_min_planes``: one Jacobi pass reading converged labels
     (border points adopt the min core-neighbor label).
 

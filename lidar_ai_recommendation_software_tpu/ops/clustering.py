@@ -166,7 +166,7 @@ def dbscan_labels(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     points dropped because a column exceeded ``column_cap``; 0 means the
     result is exact). Dispatches on static capacity: tiled all-pairs for
     small sets; at venue scale the Pallas Gauss-Seidel CCL on TPU
-    (ops/ccl.py — 13.5x the jnp column path at 1M points) or the jnp
+    (ops/ccl.py — 166 ms vs 6.28 s for the jnp column path at 1M, r5) or the jnp
     column grid elsewhere (``LIDAR_JNP_CCL=1`` forces the jnp path).
 
     ``brute_cap`` raises the all-pairs dispatch ceiling. The modular
