@@ -130,7 +130,11 @@ def tile_schedule(srow_sorted: jnp.ndarray, px: int, n_tiles: int,
 # ---------------------------------------------------------------------------
 
 def _fill_kernel(cap: int, gr, gb, gfr, gfb, glive,
-                 srow, sy, sslot, sx, syc, sz, sidx, out_ref):
+                 srow, sy, sslot, *refs):
+    # refs: 12 split value streams (4 channels x 3 exact bf16 terms,
+    # shipped as f32 — bf16 (1,T) blocks corrupt on device) + out_ref
+    ch_refs = refs[:12]
+    out_ref = refs[12]
     g = pl.program_id(0)
     row = jnp.where(glive[g] == 1, gr[g], -1)   # -1 matches no point
 
@@ -142,23 +146,29 @@ def _fill_kernel(cap: int, gr, gb, gfr, gfb, glive,
     pyp = out_ref.shape[2]
     inrow = srow[0] == row                                    # (1, T)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (pyp, t), 0)
-    rhs_t = jnp.where((iota_y == sy[0]) & inrow, 1.0, 0.0)    # (PYP, T)
+    rhs_t = jnp.where((iota_y == sy[0]) & inrow,
+                      1.0, 0.0).astype(jnp.bfloat16)          # (PYP, T)
 
-    # (5*CAP, T) LHS: slot one-hot scaled by each value lane
+    # (13*CAP, T) LHS: slot one-hot scaled by the 12 split value terms
+    # + one occupancy group.  The TPU's DEFAULT matmul precision is
+    # single-pass bf16 (it silently truncated coords and point indices
+    # to 8 mantissa bits at 10M); riding each f32 value as an exact
+    # 3-way bf16 split keeps single-pass speed with exact results
+    # (split3_bf16 — one contribution per slot, f32 recombination).
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, t), 0)
-    onehot = jnp.where(iota_s == sslot[0], 1.0, 0.0)          # (CAP, T)
-    lanes = (sx[0], syc[0], sz[0], sidx[0],
-             jnp.ones_like(sx[0]))                            # each (1, T)
-    lhs = jnp.concatenate([onehot * v for v in lanes], axis=0)
+    onehot = jnp.where(iota_s == sslot[0],
+                       1.0, 0.0).astype(jnp.bfloat16)         # (CAP, T)
+    lhs = jnp.concatenate(
+        [onehot * r[0].astype(jnp.bfloat16) for r in ch_refs]
+        + [onehot], axis=0)
 
-    # Precision.HIGHEST: the TPU's default single-pass bf16 matmul
-    # truncates the ridden values (coords, point indices) to 8 mantissa
-    # bits — measured at 10M points it silently corrupted every label.
-    # HIGHEST (multi-pass bf16) is exact for one-hot x f32 products.
-    contrib = jax.lax.dot_general(
+    big = jax.lax.dot_general(
         lhs, rhs_t, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                   # (5CAP, PYP)
+        preferred_element_type=jnp.float32)                  # (13CAP, PYP)
+    parts = [big[i * cap:(i + 1) * cap] for i in range(13)]
+    contrib = jnp.concatenate(
+        [parts[3 * c] + parts[3 * c + 1] + parts[3 * c + 2]
+         for c in range(4)] + [parts[12]], axis=0)           # (5CAP, PYP)
 
     @pl.when(gfr[g] == 1)
     def _():
@@ -201,10 +211,15 @@ def fill_planes(srow: jnp.ndarray, sy: jnp.ndarray, sslot: jnp.ndarray,
         (1, 1, tile), lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
         memory_space=pltpu.VMEM)
 
+    split_streams = []
+    for v in (sx_p, syc_p, sz_p, sidx_p):
+        split_streams.extend(
+            b.astype(jnp.float32) for b in split3_bf16(v))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(g_row.shape[0],),
-        in_specs=[blk() for _ in range(7)],
+        in_specs=[blk() for _ in range(3 + 12)],
         out_specs=pl.BlockSpec(
             (1, 5 * cap, pyp),
             lambda g, gr, gb, gfr, gfb, gl: (gr[g], 0, 0),
@@ -217,7 +232,7 @@ def fill_planes(srow: jnp.ndarray, sy: jnp.ndarray, sslot: jnp.ndarray,
         interpret=_interpret(),
     )(g_row, g_block, g_first_row, g_first_blk, g_live,
       in_l(srow_p), in_l(sy_p), in_l(sslot_p),
-      in_l(sx_p), in_l(syc_p), in_l(sz_p), in_l(sidx_p))
+      *[in_l(c) for c in split_streams])
 
 
 # ---------------------------------------------------------------------------
@@ -225,23 +240,31 @@ def fill_planes(srow: jnp.ndarray, sy: jnp.ndarray, sslot: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _extract_kernel(cap: int, gr, gb, gfr, gfb, glive,
-                    srow, sy, sslot, lab_ref, out_ref, acc_ref):
+                    srow, sy, sslot, la_ref, lb_ref, lc_ref,
+                    out_ref, acc_ref):
     g = pl.program_id(0)
     row = jnp.where(glive[g] == 1, gr[g], -1)   # -1 matches no point
     t = srow.shape[2]
-    pyp = lab_ref.shape[2]
+    pyp = la_ref.shape[2]
 
     # lane-native throughout: yhot is built transposed (PYP, T), the
-    # matmul is a standard (CAP, PYP) @ (PYP, T), and the slot-select
-    # reduction collapses sublanes into a (1, T) lane vector
+    # matmuls are standard (CAP, PYP) @ (PYP, T), and the slot-select
+    # reduction collapses sublanes into a (1, T) lane vector.  The
+    # label rides as THREE byte planes (exact in bf16) so every matmul
+    # is single-pass bf16 instead of the ~6-pass HIGHEST f32
+    # decomposition; the one-contribution-per-slot sums recombine
+    # exactly in f32 (each byte term <= 255, scaled <= 2^24).
     inrow = srow[0] == row                                    # (1, T)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (pyp, t), 0)
-    yhot_t = jnp.where((iota_y == sy[0]) & inrow, 1.0, 0.0)   # (PYP, T)
+    yhot_t = jnp.where((iota_y == sy[0]) & inrow,
+                       1.0, 0.0).astype(jnp.bfloat16)         # (PYP, T)
 
-    lab = lab_ref[0]                                          # (CAP, PYP)
-    tmp_t = jax.lax.dot(lab, yhot_t,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)   # (CAP, T)
+    tmp_t = jnp.zeros((cap, t), jnp.float32)
+    for ref, scale in ((la_ref, 65536.0), (lb_ref, 256.0),
+                       (lc_ref, 1.0)):
+        part = jax.lax.dot(ref[0].astype(jnp.bfloat16), yhot_t,
+                           preferred_element_type=jnp.float32)
+        tmp_t = tmp_t + part * scale                          # (CAP, T)
 
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (cap, t), 0)
     picked = jnp.where(iota_s == sslot[0], tmp_t, 0.0)
@@ -284,14 +307,21 @@ def extract_stream(labels_f32: jnp.ndarray, srow: jnp.ndarray,
         (1, 1, tile), lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
         memory_space=pltpu.VMEM)
 
+    # split labels into byte planes OUTSIDE the kernel (values < 2^24,
+    # exact; integer ops, immune to excess-precision folding)
+    lab_int = labels_f32.astype(jnp.int32)
+    la = ((lab_int >> 16) & 0xFF).astype(jnp.float32)
+    lb = ((lab_int >> 8) & 0xFF).astype(jnp.float32)
+    lc = (lab_int & 0xFF).astype(jnp.float32)
+
+    lab_spec = lambda: pl.BlockSpec(
+        (1, cap, pyp), lambda g, gr, gb, gfr, gfb, gl: (gr[g], 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(g_row.shape[0],),
         in_specs=[blk(), blk(), blk(),
-                  pl.BlockSpec(
-                      (1, cap, pyp),
-                      lambda g, gr, gb, gfr, gfb, gl: (gr[g], 0, 0),
-                      memory_space=pltpu.VMEM)],
+                  lab_spec(), lab_spec(), lab_spec()],
         out_specs=pl.BlockSpec(
             (1, 1, tile),
             lambda g, gr, gb, gfr, gfb, gl: (gb[g], 0, 0),
@@ -304,7 +334,7 @@ def extract_stream(labels_f32: jnp.ndarray, srow: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         interpret=_interpret(),
     )(g_row, g_block, g_first_row, g_first_blk, g_live,
-      in_l(srow_p), in_l(sy_p), in_l(sslot_p), labels_f32)
+      in_l(srow_p), in_l(sy_p), in_l(sslot_p), la, lb, lc)
     return out.reshape(n_pad)[:n]
 
 
