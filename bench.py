@@ -191,11 +191,17 @@ def main():
                   for i in range(iters)]
         r = pipe.analyze_device(clouds[0], cfg)
         _ = float(r[2].density.max_density)  # warmup + fence
-        t0 = time.time()
-        for c in clouds:
-            r = pipe.analyze_device(c, cfg)
-        _ = float(r[2].density.max_density)
-        sec = (time.time() - t0) / iters
+        # two timed loops, keep the faster mean: transient host/tunnel
+        # contention inflates a single loop 10-100x (observed: a
+        # concurrent pytest run turned a 185 ms step into 4.2 s)
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            for c in clouds:
+                r = pipe.analyze_device(c, cfg)
+            _ = float(r[2].density.max_density)
+            best = min(best, (time.time() - t0) / iters)
+        sec = best
         return len(pts) / sec, sec
 
     # ---- stage 2: headline 1M throughput ----
