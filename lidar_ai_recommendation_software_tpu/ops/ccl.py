@@ -437,8 +437,9 @@ def _gs_kernel(ncx: int, npass: int, r2_ref, *refs):
     wr.wait()
 
 
-def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
-                       labels_in, labels_out, changed_ref,
+def _gs_kernel_blocked(ncx: int, rpb: int, seed_ref, r2_ref,
+                       xs_h, ys_h, zs_h,
+                       labels_in, labels_out, changed_ref, lanechg_ref,
                        xw, yw, zw, lw,
                        sem_x, sem_y, sem_z, sem_l, sem_out, sem_copy):
     """Blocked Gauss-Seidel pass: each program owns ``rpb`` consecutive
@@ -454,7 +455,15 @@ def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
     pass), so it skips the window DMA and all compute.  Convergence is
     long-tailed (measured at 10M: 1.9M changed slots in pass 1, 6 in
     pass 11), so late passes cost ~grid overhead only, and a zero pass
-    remains a true global-fixpoint certificate."""
+    remains a true global-fixpoint certificate.
+
+    Cross-call seeding: PASS 0 consults the prefetched ``seed_ref``
+    (per-block activity from the caller) instead of running the whole
+    grid, and ``lanechg_ref`` accumulates per-LANE change counts over
+    the call — lanes of this orientation's table are exactly the
+    ROWS of the transposed orientation, so the caller turns one call's
+    lane changes into the next (transposed) call's block seeds.  A
+    caller with no prior information passes all-ones seeds."""
     p = pl.program_id(0)
     i = pl.program_id(1)
     nblk = ncx // rpb
@@ -467,12 +476,13 @@ def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
         cp = pltpu.make_async_copy(labels_in, labels_out, sem_copy)
         cp.start()
         cp.wait()
+        lanechg_ref[...] = jnp.zeros_like(lanechg_ref)
 
     prev = jnp.maximum(p - 1, 0)
     f_prev = (changed_ref[prev, jnp.maximum(blk - 1, 0)]
               + changed_ref[prev, blk]
               + changed_ref[prev, jnp.minimum(blk + 1, nblk - 1)])
-    act = (p == 0) | (f_prev > 0)
+    act = jnp.where(p == 0, seed_ref[blk] > 0, f_prev > 0)
     changed_ref[p, blk] = 0
 
     @pl.when(act)
@@ -504,7 +514,10 @@ def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
             new = jnp.where(center == INT_MAX, INT_MAX,
                             jnp.minimum(center, mn))
             lw[jj] = new
-            return c + jnp.sum((new != center).astype(jnp.int32))
+            diff = (new != center).astype(jnp.int32)
+            lanechg_ref[...] = lanechg_ref[...] + jnp.sum(
+                diff, axis=0, keepdims=True)
+            return c + jnp.sum(diff)
 
         c = jax.lax.fori_loop(0, rpb, body, jnp.int32(0))
         changed_ref[p, blk] = c
@@ -516,10 +529,23 @@ def _gs_kernel_blocked(ncx: int, rpb: int, r2_ref, xs_h, ys_h, zs_h,
         wr.wait()
 
 
+def _pick_rpb(ncx: int, cap: int, pyp: int) -> int:
+    """Largest GS block size that divides ncx and keeps the 4 windows in
+    a VMEM budget (~6 MB); 1 (per-row kernel) in interpret mode, where
+    the blocked kernel's trace is disproportionately slow."""
+    if _interpret():
+        return 1
+    budget = 6 * 1024 * 1024
+    for cand in (16, 8, 4, 2):
+        if ncx % cand == 0 and 4 * (cand + 2) * cap * pyp * 4 <= budget:
+            return cand
+    return 1
+
+
 def gs_passes(planes_xyz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
               labels: jnp.ndarray, radius, npass: int = 2,
-              rows_per_block: int = 0
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              rows_per_block: int = 0, seed_blocks=None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``npass`` alternating (fwd, bwd) Gauss-Seidel min-propagation
     passes over the sequential x axis. Returns (labels', changed) where
     ``changed`` is (npass, B) per-pass per-block change counts (B = 1
@@ -529,36 +555,34 @@ def gs_passes(planes_xyz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     ``rows_per_block`` > 1 selects the blocked kernel (same fixpoint;
     activity-skipping makes late long-tail passes nearly free); 0
     auto-picks on TPU and stays per-row in interpret mode, where the
-    blocked kernel's trace is disproportionately slow."""
+    blocked kernel's trace is disproportionately slow.
+
+    ``seed_blocks`` ((nblk,) int32 or None) gates PASS 0 of the
+    blocked kernel: callers pass the previous same-orientation call's
+    last-pass block changes + the intervening transposed call's lane
+    changes (reduced to blocks); None means all-active.  Third return
+    value is the per-LANE change count over the whole call ((pyp,)
+    int32; all-ones from the per-row fallback, which never skips)."""
     xs, ys, zs = planes_xyz
     px, cap, pyp = xs.shape
     ncx = px - 2
     r2 = jnp.asarray([radius], xs.dtype) ** 2
 
-    # largest block size that divides ncx and keeps the 4 windows in a
-    # VMEM budget (~6 MB)
-    budget = 6 * 1024 * 1024
-    rpb = rows_per_block
-    if rpb == 0:
-        rpb = 1
-        if not _interpret():
-            for cand in (16, 8, 4, 2):
-                if ncx % cand == 0 and \
-                        4 * (cand + 2) * cap * pyp * 4 <= budget:
-                    rpb = cand
-                    break
+    rpb = rows_per_block or _pick_rpb(ncx, cap, pyp)
 
     if rpb > 1:
-        labels_out, changed = pl.pallas_call(
-            functools.partial(_gs_kernel_blocked, ncx, rpb),
-            grid=(npass, ncx // rpb),
+        nblk = ncx // rpb
+        if seed_blocks is None:
+            seed_blocks = jnp.ones((nblk,), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(npass, nblk),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)),
-            out_shape=(jax.ShapeDtypeStruct((px, cap, pyp), jnp.int32),
-                       jax.ShapeDtypeStruct((npass, ncx // rpb),
-                                            jnp.int32)),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec((1, pyp), lambda p, i, sd: (0, 0),
+                                    memory_space=pltpu.VMEM)),
             scratch_shapes=[
                 pltpu.VMEM((rpb + 2, cap, pyp), xs.dtype),
                 pltpu.VMEM((rpb + 2, cap, pyp), xs.dtype),
@@ -571,9 +595,16 @@ def gs_passes(planes_xyz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
+        )
+        labels_out, changed, lanechg = pl.pallas_call(
+            functools.partial(_gs_kernel_blocked, ncx, rpb),
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((px, cap, pyp), jnp.int32),
+                       jax.ShapeDtypeStruct((npass, nblk), jnp.int32),
+                       jax.ShapeDtypeStruct((1, pyp), jnp.int32)),
             interpret=_interpret(),
-        )(r2, xs, ys, zs, labels)
-        return labels_out, changed
+        )(seed_blocks.astype(jnp.int32), r2, xs, ys, zs, labels)
+        return labels_out, changed, lanechg[0]
 
     def row_of(p, i, off):
         fwd_row = i + off
@@ -607,7 +638,7 @@ def gs_passes(planes_xyz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         ],
         interpret=_interpret(),
     )(r2, *operands, labels)
-    return labels_out, changed
+    return labels_out, changed, jnp.ones((pyp,), jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -660,26 +691,58 @@ def dbscan_gs(points: jnp.ndarray, mask: jnp.ndarray, eps: float,
     ys_t = _transpose_planes(planes.ys, ncx, ncy)
     zs_t = _transpose_planes(planes.zs, ncx, ncy)
 
+    pxp = _round_up(px, 128)
+    rpb_x = _pick_rpb(ncx, cap, pyp)
+    rpb_y = _pick_rpb(ncy, cap, pxp)
+
+    def _seed_from(lanes_changed, last_pass_blocks, rpb):
+        """Next-call pass-0 activity for one orientation: rows touched
+        by the intervening transposed call (its LANE changes — lanes of
+        one orientation are rows of the other) within each block's
+        (rpb+2)-row window, plus the same orientation's own unfinished
+        business (its final pass's changed blocks, +-1 block).  The
+        per-row fallback (rpb == 1) ignores seeds and reports a single
+        block: keep its seed a (1,) always-on stub."""
+        nblk = last_pass_blocks.shape[0]
+        if rpb == 1:
+            return jnp.ones((nblk,), jnp.int32)
+        cs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(lanes_changed.astype(jnp.int32))])
+        b = jnp.arange(nblk)
+        lo = b * rpb
+        hi = jnp.minimum(lo + rpb + 2, lanes_changed.shape[0])
+        win = cs[hi] - cs[lo]
+        own = (last_pass_blocks + jnp.roll(last_pass_blocks, 1)
+               + jnp.roll(last_pass_blocks, -1))
+        return (win + own).astype(jnp.int32)
+
     def group(state):
-        labels, _, it = state
+        labels, _, it, seed_x, seed_y = state
         # npass=4 per orientation: with activity skipping the extra
         # fwd/bwd pair is nearly free once the long tail sets in, and
         # it halves the per-group label transposes (measured r5)
-        labels, ch_x = gs_passes((planes.xs, planes.ys, planes.zs),
-                                 labels, eps, npass=npass)
+        labels, ch_x, lane_x = gs_passes(
+            (planes.xs, planes.ys, planes.zs), labels, eps,
+            npass=npass, seed_blocks=seed_x)
         lab_t = _transpose_planes(labels, ncx, ncy)
-        lab_t, ch_y = gs_passes((xs_t, ys_t, zs_t), lab_t, eps,
-                                npass=npass)
+        lab_t, ch_y, lane_y = gs_passes((xs_t, ys_t, zs_t), lab_t, eps,
+                                        npass=npass, seed_blocks=seed_y)
         labels = _untranspose_labels(lab_t, px, pyp)
+        seed_x = _seed_from(lane_y, ch_x[-1], rpb_x)
+        seed_y = _seed_from(lane_x, ch_y[-1], rpb_y)
         # a complete pass that changes nothing certifies the global
-        # fixpoint — only the FINAL pass of the group matters, so a
-        # venue that converges within one group exits immediately
+        # fixpoint (skipped blocks provably could not change) — only
+        # the FINAL pass of the group matters, so a venue that
+        # converges within one group exits immediately
         changed = jnp.sum(ch_y[-1])
-        return labels, changed, it + 1
+        return labels, changed, it + 1, seed_x, seed_y
 
-    labels, _, _ = jax.lax.while_loop(
+    nblk_x = ncx // rpb_x if rpb_x > 1 else 1
+    nblk_y = ncy // rpb_y if rpb_y > 1 else 1
+    labels, _, _, _, _ = jax.lax.while_loop(
         lambda s: (s[1] > 0) & (s[2] < max_iters), group,
-        (labels0, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)))
+        (labels0, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+         jnp.ones((nblk_x,), jnp.int32), jnp.ones((nblk_y,), jnp.int32)))
 
     # border points adopt the min core-neighbor label
     border_min = border_min_planes(planes, labels, eps)

@@ -314,10 +314,13 @@ def test_gs_blocked_kernel_matches_per_row():
     planes = ccl.build_planes_stream(pts, mask, min_cell=eps, ncx=16,
                                      ncy=16, cap=32)
     labels0 = jnp.where(planes.ptidx >= 0, planes.ptidx, ccl.INT_MAX)
-    lab1, ch1 = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
-                              labels0, eps, npass=2, rows_per_block=1)
-    lab2, ch2 = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
-                              labels0, eps, npass=2, rows_per_block=4)
+    lab1, ch1, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                 labels0, eps, npass=2, rows_per_block=1)
+    lab2, ch2, lane2 = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                     labels0, eps, npass=2,
+                                     rows_per_block=4)
+    # lane-change totals equal the summed block changes
+    assert np.asarray(lane2).sum() == np.asarray(ch2).sum()
     np.testing.assert_array_equal(np.asarray(lab1), np.asarray(lab2))
     # per-pass totals agree (blocked reports per-block counts)
     np.testing.assert_array_equal(np.asarray(ch1).sum(axis=1),
@@ -359,9 +362,9 @@ def test_gs_blocked_activity_skipping_reaches_same_fixpoint():
     labels0 = jnp.where(planes.ptidx >= 0, planes.ptidx, ccl.INT_MAX)
     lab_a = labels0
     for _ in range(4):
-        lab_a, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
-                                 lab_a, eps, npass=2, rows_per_block=1)
-    lab_b, ch_b = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
-                                labels0, eps, npass=8, rows_per_block=4)
+        lab_a, _, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                    lab_a, eps, npass=2, rows_per_block=1)
+    lab_b, ch_b, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                   labels0, eps, npass=8, rows_per_block=4)
     np.testing.assert_array_equal(np.asarray(lab_a), np.asarray(lab_b))
     assert np.asarray(ch_b)[-1].sum() == 0
