@@ -44,11 +44,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INT_MAX = jnp.iinfo(jnp.int32).max
-# f32-exact sentinel for "no label": must survive the f32 matmul ride
-# and compare greater than any real point index (< 2^24).
-F32_SENTINEL = (1 << 24) - 1
-
 _T = 512  # stream tile length (lanes; multiple of 128)
 
 

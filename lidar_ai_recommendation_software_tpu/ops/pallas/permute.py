@@ -5,8 +5,9 @@ XLA's TPU scatter/gather run at ~18-20M elem/s (measured: ~50 ms per
 trips HBM, while its sort runs a 1M int32 key/payload pair in ~12 ms.
 For PERMUTATION index maps — the column-grid build's point<->slot maps
 are exactly that — the permutation can therefore ride sorts instead:
-these two functions are the product path used by ops/ccl.build_planes
-and ops/bucket_density.
+these two functions are used by ops/bucket_density and by
+ops/ccl.build_planes (the >= 2^24-point scatter fallback; the default
+stream build in ops/pallas/fill.py needs neither).
 
 (An earlier revision also carried serial VMEM gather/scatter kernels and
 a merge-style ``sorted_fill`` table writer; Mosaic cannot prove
