@@ -92,10 +92,11 @@ def main():
         xs_t = ccl._transpose_planes(g0.xs, ncx, ncy)
         ys_t = ccl._transpose_planes(g0.ys, ncx, ncy)
         zs_t = ccl._transpose_planes(g0.zs, ncx, ncy)
-        lab, chx = ccl.gs_passes((g0.xs, g0.ys, g0.zs), lab, eps, npass=2)
+        lab, chx, _ = ccl.gs_passes((g0.xs, g0.ys, g0.zs), lab, eps,
+                                    npass=2)
         lab_t = ccl._transpose_planes(lab, ncx, ncy)
-        lab_t, chy = ccl.gs_passes((xs_t, ys_t, zs_t), lab_t, eps,
-                                   npass=2)
+        lab_t, chy, _ = ccl.gs_passes((xs_t, ys_t, zs_t), lab_t, eps,
+                                      npass=2)
         return ccl._untranspose_labels(lab_t, px, pyp), chy
 
     rec("one_group_incl_coord_transpose", one_group,
@@ -139,13 +140,13 @@ def main():
 
         def group(state):
             lab, _, it = state
-            lab, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
-                                   lab, eps, npass=2)
+            lab, _, _ = ccl.gs_passes((planes.xs, planes.ys, planes.zs),
+                                      lab, eps, npass=2)
             lab_t = ccl._transpose_planes(lab, ncx, ncy)
-            lab_t, chy = ccl.gs_passes((xs_t, ys_t, zs_t), lab_t, eps,
-                                       npass=2)
+            lab_t, chy, _ = ccl.gs_passes((xs_t, ys_t, zs_t), lab_t,
+                                          eps, npass=2)
             return (ccl._untranspose_labels(lab_t, px, pyp),
-                    chy[-1, 0], it + 1)
+                    jnp.sum(chy[-1]), it + 1)
 
         lab, _, iters = jax.lax.while_loop(
             lambda s: (s[1] > 0) & (s[2] < cap.max_cc_iters), group,
